@@ -1,0 +1,219 @@
+"""Discriminator-feature FID evaluation (the reference's FID variant).
+
+Parity with sndcgan/generator_evaluation.py:
+- the feature extractor is the GAN's *own trained discriminator* with the
+  Flatten/Dense head removed and AvgPool(8x8)+Flatten appended (:134-138) —
+  NOT InceptionV3 (faithful to the reference; an Inception-FID can be layered
+  on later without changing this API);
+- evaluation state (fixed real batches + matching z, <=16 batches, the epoch
+  list) is pinned ONCE and pickled so runs are resumable and apples-to-apples
+  across epochs (`init_fid_evaluation`, :58-102);
+- per-epoch FIDs accumulate incrementally into fids.pickle so an interrupted
+  evaluation resumes where it stopped (:143-155,178-184);
+- FID math: per-batch mu/cov + tr sqrtm(cov_f cov_r) cross term (:36-55),
+  with the sqrtm on-device via Newton–Schulz (ops/sqrtm.py) by default.
+
+Corrected quirk (documented delta): the reference feeds the discriminator
+fake images denormalized to [0,1] (create_samples) but real images in [-1,1]
+(generator_evaluation.py:163-176) — a range mismatch that biases its FID.
+Here both fake and real are evaluated in [-1,1].
+
+TPU-native: feature extraction and image synthesis run as one jitted program
+per batch; only mu/cov/sqrtm-trace run where configured.
+"""
+
+from __future__ import annotations
+
+import pickle
+from os import path
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagegeneration_tpu.core import rng as rnglib
+from imagegeneration_tpu.core.checkpoint import find_epoch_files, load_params
+from imagegeneration_tpu.models.sndcgan import (
+    Discriminator,
+    Generator,
+    SNDCGANConfig,
+)
+from imagegeneration_tpu.ops.sqrtm import trace_sqrtm_product
+
+MAX_BATCHES = 16  # generator_evaluation.py:29
+
+
+def calculate_fid_from_features(
+    feats_fake: np.ndarray, feats_real: np.ndarray, method: str = "newton_schulz"
+) -> float:
+    """Frechet distance between feature Gaussians (generator_evaluation.py:36-55)."""
+    feats_fake = np.asarray(feats_fake, np.float64)
+    feats_real = np.asarray(feats_real, np.float64)
+    mu_f, mu_r = feats_fake.mean(axis=0), feats_real.mean(axis=0)
+    cov_f = np.cov(feats_fake, rowvar=False)
+    cov_r = np.cov(feats_real, rowvar=False)
+    ssdiff = float(np.sum((mu_f - mu_r) ** 2))
+    tr_cross = trace_sqrtm_product(
+        cov_f.astype(np.float32), cov_r.astype(np.float32), method
+    )
+    return ssdiff + float(np.trace(cov_f + cov_r)) - 2.0 * tr_cross
+
+
+class FIDEvaluator:
+    """Pinned-batch, resumable FID evaluation over epoch-stamped exports."""
+
+    def __init__(
+        self,
+        dir_path: str,
+        output_dir: str,
+        image_size=(144, 256, 3),
+        z_size: int = 128,
+        dropout: float = 0.5,
+        seed: int = rnglib.DEFAULT_MODEL_SEED,
+        sqrtm_method: str = "newton_schulz",
+    ) -> None:
+        self.dir_path = dir_path
+        self.output_dir = output_dir
+        self.cfg = SNDCGANConfig(
+            image_size=image_size, z_size=z_size, dropout_rate=dropout
+        )
+        self.gen = Generator(self.cfg)
+        self.disc = Discriminator(self.cfg)
+        self.seed = seed
+        self.sqrtm_method = sqrtm_method
+        self._jit_features = jax.jit(
+            lambda v, x: self.disc.apply(
+                v, x, train=False, update_sn=False, features=True
+            )
+        )
+        self._jit_gen = jax.jit(lambda v, z: self.gen.apply(v, z, train=False))
+
+    # ------------------------------------------------------------ pinning
+    def init_fid_evaluation(
+        self, dataset, batch_size: int, step_size: int, start_epoch: int,
+        disc_epoch: int,
+    ) -> dict:
+        """Pin <=16 real batches + matching z and the epoch list; pickle them
+        (generator_evaluation.py:58-102)."""
+        model_path_gen = path.join(self.dir_path, "models", "generator")
+        found = find_epoch_files(model_path_gen, "gen_model-{epoch}.msgpack")
+        epochs_used = [e for e, _ in found if e >= start_epoch][::step_size]
+
+        chain = rnglib.KeyChain(self.seed)
+        batches_used = min(MAX_BATCHES, dataset.num_batches(batch_size))
+        img_real_used, random_z_used = [], []
+        it = dataset.epoch_batches(batch_size, epoch=0)
+        for i in range(batches_used):
+            batch_u8 = next(it)
+            img_real_used.append(
+                (batch_u8.astype(np.float32) / 127.5 - 1.0)
+            )
+            z = rnglib.uniform_z(
+                chain.at_step("eval", i), batch_u8.shape[0], self.cfg.z_size
+            )
+            random_z_used.append(np.asarray(z))
+
+        init_dict = {
+            "epochs_used": epochs_used,
+            "img_real_used": img_real_used,
+            "random_z_used": random_z_used,
+            "batches_used": batches_used,
+            "disc_epoch": disc_epoch,
+        }
+        Path(self.output_dir).mkdir(parents=True, exist_ok=True)
+        with open(path.join(self.output_dir, "fid_tmp_init.pickle"), "wb") as f:
+            pickle.dump(init_dict, f)
+        return init_dict
+
+    def load_init(self) -> dict:
+        with open(path.join(self.output_dir, "fid_tmp_init.pickle"), "rb") as f:
+            return pickle.load(f)
+
+    # --------------------------------------------------------- evaluation
+    def _load_disc_features_fn(self, disc_epoch: int):
+        disc_path = path.join(
+            self.dir_path, "models", "discriminator",
+            f"disc_model-{disc_epoch}.msgpack",
+        )
+        d_vars = load_params(disc_path)  # raw restore, no eager init
+        return lambda x: np.asarray(self._jit_features(d_vars, jnp.asarray(x)))
+
+    def _load_gen(self, epoch: int):
+        gen_path = path.join(
+            self.dir_path, "models", "generator", f"gen_model-{epoch}.msgpack"
+        )
+        g_vars = load_params(gen_path)
+        return lambda z: np.asarray(self._jit_gen(g_vars, jnp.asarray(z)))
+
+    def evaluate(
+        self, dataset=None, batch_size: int = 32, step_size: int = 1,
+        start_epoch: int = 0, disc_epoch: int | None = None,
+        continue_: bool = False,
+    ) -> dict[int, list[float]]:
+        """Per-epoch FID lists (one value per pinned batch), resumable."""
+        out = Path(self.output_dir)
+        if not continue_:
+            if dataset is None:
+                raise ValueError("dataset required unless continuing")
+            if disc_epoch is None:
+                found = find_epoch_files(
+                    path.join(self.dir_path, "models", "discriminator"),
+                    "disc_model-{epoch}.msgpack",
+                )
+                disc_epoch = found[-1][0]
+            init = self.init_fid_evaluation(
+                dataset, batch_size, step_size, start_epoch, disc_epoch
+            )
+        else:
+            init = self.load_init()
+
+        results_file = out / "fids.pickle"
+        if results_file.exists():
+            with open(results_file, "rb") as f:
+                results: dict[int, list[float]] = pickle.load(f)
+        else:
+            results = {}
+
+        feat_fn = self._load_disc_features_fn(init["disc_epoch"])
+        real_feats = [feat_fn(x) for x in init["img_real_used"]]
+
+        for epoch in init["epochs_used"]:
+            if epoch in results:
+                continue  # resumability (generator_evaluation.py:155-157)
+            gen_fn = self._load_gen(epoch)
+            fids = []
+            for z, rf in zip(init["random_z_used"], real_feats):
+                fake = gen_fn(z)
+                ff = feat_fn(fake)
+                fids.append(
+                    calculate_fid_from_features(ff, rf, self.sqrtm_method)
+                )
+            results[epoch] = fids
+            with open(results_file, "wb") as f:
+                pickle.dump(results, f)
+            print(f"epoch {epoch}: FID mean {np.mean(fids):.4f}")
+        return results
+
+    # --------------------------------------------------------------- plots
+    def plot(self, results: dict[int, list[float]]) -> None:
+        """Boxplot + mean-line plot (generator_evaluation.py:202-245)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        epochs = sorted(results)
+        data = [results[e] for e in epochs]
+        plt.clf()
+        plt.boxplot(data, labels=[str(e) for e in epochs])
+        plt.xlabel("Epoch")
+        plt.ylabel("FID")
+        plt.savefig(path.join(self.output_dir, "fids_boxplot.png"))
+        plt.close()
+        plt.clf()
+        plt.plot(epochs, [float(np.mean(d)) for d in data])
+        plt.xlabel("Epoch")
+        plt.ylabel("FID")
+        plt.savefig(path.join(self.output_dir, "fids_line.png"))
+        plt.close()

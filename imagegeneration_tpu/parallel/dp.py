@@ -1,0 +1,62 @@
+"""Data-parallel (and spatially-partitioned) execution of fused train steps.
+
+TPU-native scaling (new component; the reference is single-device — SURVEY.md
+§2): the fused step function is jitted with sharding annotations —
+
+  state   : replicated (P())
+  batch   : P('data')  (optionally P('data','spatial') on H for config 5)
+  metrics : replicated
+
+XLA's SPMD partitioner turns the replicated-gradient requirement into ICI
+all-reduces and conv spatial partitioning into halo exchanges; no collectives
+are written by hand. Batch-statistics layers see per-shard batches (standard
+non-sync BN semantics under data parallelism; the reference's effective batch
+is tiny so this matches its statistical regime).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from imagegeneration_tpu.core import mesh as meshlib
+
+
+def shard_train_step(
+    step_fn: Callable,
+    mesh: Mesh,
+    spatial: bool = False,
+    donate_state: bool = True,
+):
+    """Jit a fused (state, batch) -> (state, metrics) step over a mesh."""
+    state_sh = NamedSharding(mesh, P())
+    batch_sh = meshlib.batch_sharding(mesh, spatial)
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, state_sh),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def replicate_state(state, mesh: Mesh):
+    return jax.device_put(state, NamedSharding(mesh, P()))
+
+
+def shard_paired_train_step(
+    step_fn: Callable,
+    mesh: Mesh,
+    spatial: bool = False,
+    donate_state: bool = True,
+):
+    """Same as shard_train_step for (state, batch_x, batch_y) steps (CycleGAN)."""
+    state_sh = NamedSharding(mesh, P())
+    batch_sh = meshlib.batch_sharding(mesh, spatial)
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh, batch_sh),
+        out_shardings=(state_sh, state_sh),
+        donate_argnums=(0,) if donate_state else (),
+    )

@@ -1,0 +1,57 @@
+"""Shared pieces for the fused GAN train steps."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+# Keras optimizer epsilons differ from optax defaults; these match
+# tf.keras.optimizers.Adam/RMSprop (epsilon=1e-7).
+KERAS_EPS = 1e-7
+
+
+def adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999) -> optax.GradientTransformation:
+    """Adam with Keras defaults (eps=1e-7). sndcgan/SNDCGAN.py:165,168;
+    cyclegan/CycleGAN.py:229-233 uses b1=0.5."""
+    return optax.adam(learning_rate, b1=b1, b2=b2, eps=KERAS_EPS)
+
+
+def rmsprop(learning_rate: float) -> optax.GradientTransformation:
+    """RMSprop with Keras defaults (rho=0.9, eps=1e-7, no momentum).
+    wasserstein_gan/WGAN.py:99,150."""
+    return optax.rmsprop(learning_rate, decay=0.9, eps=KERAS_EPS)
+
+
+def bce_logits_mean(labels: jax.Array, logits: jax.Array) -> jax.Array:
+    """Keras BinaryCrossentropy(from_logits=True) with mean reduction
+    (sndcgan/SNDCGAN.py:170, cyclegan/CycleGAN.py:187). Computed in f32."""
+    logits = logits.astype(jnp.float32)
+    labels = labels.astype(jnp.float32)
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+
+
+def wasserstein_loss(labels: jax.Array, preds: jax.Array) -> jax.Array:
+    """mean(y_true * y_pred) — wasserstein_gan/WGAN.py:48-49."""
+    return jnp.mean(labels.astype(jnp.float32) * preds.astype(jnp.float32))
+
+
+def hinge_d_loss(logits_real: jax.Array, logits_fake: jax.Array) -> jax.Array:
+    """SN-GAN hinge discriminator loss (new; BASELINE config 2)."""
+    lr = logits_real.astype(jnp.float32)
+    lf = logits_fake.astype(jnp.float32)
+    return jnp.mean(jax.nn.relu(1.0 - lr)) + jnp.mean(jax.nn.relu(1.0 + lf))
+
+
+def hinge_g_loss(logits_fake: jax.Array) -> jax.Array:
+    return -jnp.mean(logits_fake.astype(jnp.float32))
+
+
+def tree_cast(tree: Any, dtype) -> Any:
+    return jax.tree.map(lambda x: x.astype(dtype), tree)
+
+
+def global_norm(tree: Any) -> jax.Array:
+    return optax.global_norm(tree)

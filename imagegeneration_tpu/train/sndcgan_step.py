@@ -1,0 +1,254 @@
+"""SNDCGAN fused train step — one XLA program per batch.
+
+The reference's hottest loop is an *eager* `train_step`
+(sndcgan/SNDCGAN.py:241-269): a G tape (G fwd, D fwd on fake, BCE(1, fake),
+Adam apply), then TWO discriminator tapes with TWO Adam applies — one on the
+real batch (labels 1), one on the *stale* fake batch produced by the
+pre-update generator (labels 0), where the second D pass runs on the
+already-real-updated discriminator. Every op dispatches eagerly and losses are
+synced to host per batch.
+
+Here the entire thing — normalization of the uint8 batch, latent draw, three
+forward passes, three backward passes, three optimizer applies, metric
+reduction — is ONE jitted, buffer-donated XLA program. The per-step PRNG is
+folded from named streams (core/rng.py) so results are bitwise-stable for a
+fixed seed regardless of host timing.
+
+Loss modes:
+- "bce": reference behavior (BCE-from-logits, split D updates).
+- "hinge": SN-GAN hinge loss (BASELINE config 2, pairs with spectral_norm=True);
+  uses the same three-apply structure so throughput is comparable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from imagegeneration_tpu.core import rng as rnglib
+from imagegeneration_tpu.core.data import normalize_on_device
+from imagegeneration_tpu.models import sndcgan
+from imagegeneration_tpu.train import common
+
+
+class SNDCGANState(struct.PyTreeNode):
+    step: jax.Array
+    g_params: Any
+    g_batch_stats: Any
+    g_opt: Any
+    d_params: Any
+    d_spectral: Any  # empty dict when spectral_norm=False
+    d_opt: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class SNDCGANTrainConfig:
+    model: sndcgan.SNDCGANConfig = sndcgan.SNDCGANConfig()
+    batch_size: int = 32
+    lr_gen: float = 2e-4  # sndcgan/Trainer.py:26-27
+    lr_disc: float = 2e-4
+    loss: str = "bce"  # "bce" (reference) | "hinge" (SN-GAN, config 2)
+    seed: int = rnglib.DEFAULT_MODEL_SEED
+
+
+def build(cfg: SNDCGANTrainConfig):
+    """Returns (generator, discriminator, g_tx, d_tx)."""
+    gen, disc = sndcgan.make_models(cfg.model)
+    return gen, disc, common.adam(cfg.lr_gen), common.adam(cfg.lr_disc)
+
+
+def init_state(cfg: SNDCGANTrainConfig) -> SNDCGANState:
+    gen, disc, g_tx, d_tx = build(cfg)
+    chain = rnglib.KeyChain(cfg.seed)
+    k_g, k_d = jax.random.split(chain.stream("params"))
+    h, w, c = cfg.model.image_size
+
+    z0 = jnp.zeros((1, cfg.model.z_size), jnp.float32)
+    g_vars = gen.init({"params": k_g}, z0, train=False)
+    x0 = jnp.zeros((1, h, w, c), jnp.float32)
+    d_vars = disc.init({"params": k_d}, x0, train=False)
+
+    g_params = g_vars["params"]
+    g_bs = g_vars.get("batch_stats", {})
+    d_params = d_vars["params"]
+    d_sp = d_vars.get("spectral", {})
+    return SNDCGANState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        g_batch_stats=g_bs,
+        g_opt=g_tx.init(g_params),
+        d_params=d_params,
+        d_spectral=d_sp,
+        d_opt=d_tx.init(d_params),
+    )
+
+
+def _g_apply(gen, params, batch_stats, z, train: bool):
+    """Generator forward; returns (images, new_batch_stats)."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        out, mut = gen.apply(variables, z, train=True, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+    return gen.apply(variables, z, train=False), batch_stats
+
+
+def _d_apply(disc, params, spectral, x, key, train=True, update_sn=False):
+    """Discriminator forward; returns (logits, new_spectral)."""
+    variables = {"params": params, "spectral": spectral}
+    rngs = {"dropout": key} if train else {}
+    if update_sn:
+        logits, mut = disc.apply(
+            variables, x, train=train, update_sn=True,
+            mutable=["spectral"], rngs=rngs,
+        )
+        return logits, mut["spectral"]
+    logits = disc.apply(
+        variables, x, train=train, update_sn=False, rngs=rngs
+    )
+    return logits, spectral
+
+
+def make_train_step(cfg: SNDCGANTrainConfig):
+    """Build the fused (state, uint8 batch) -> (state, metrics) step.
+
+    Call via `jax.jit(step, donate_argnums=0)` (train engine does this) or
+    shard it over a mesh with parallel/dp.py.
+    """
+    gen, disc, g_tx, d_tx = build(cfg)
+    chain = rnglib.KeyChain(cfg.seed)
+    z_stream = chain.stream("z")
+    drop_stream = chain.stream("dropout")
+    use_hinge = cfg.loss == "hinge"
+    if cfg.loss not in ("bce", "hinge"):
+        raise ValueError(f"unknown loss {cfg.loss!r}")
+
+    def train_step(state: SNDCGANState, batch_u8: jax.Array):
+        x_real = normalize_on_device(batch_u8, cfg.model.dtype)
+        z_key = jax.random.fold_in(z_stream, state.step)
+        dk_g, dk_real, dk_fake = jax.random.split(
+            jax.random.fold_in(drop_stream, state.step), 3
+        )
+        z = rnglib.uniform_z(z_key, batch_u8.shape[0], cfg.model.z_size)
+
+        # ---- Generator update (D held fixed; reference SNDCGAN.py:242-249).
+        def g_loss_fn(g_params):
+            fake, new_bs = _g_apply(gen, g_params, state.g_batch_stats, z, True)
+            logits_fake, _ = _d_apply(
+                disc, state.d_params, state.d_spectral, fake, dk_g
+            )
+            if use_hinge:
+                loss = common.hinge_g_loss(logits_fake)
+            else:
+                loss = common.bce_logits_mean(jnp.ones_like(logits_fake), logits_fake)
+            return loss, (fake, new_bs)
+
+        (g_loss, (fake_images, new_g_bs)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
+        g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        new_g_params = optax.apply_updates(state.g_params, g_updates)
+        # The fake batch used below is from the PRE-update generator — the
+        # reference reuses `g_output` across tapes (SNDCGAN.py:243,260).
+        fake_images = jax.lax.stop_gradient(fake_images)
+
+        # ---- D update #1: real batch (SNDCGAN.py:251-257).
+        def d_real_loss_fn(d_params):
+            logits_real, new_sp = _d_apply(
+                disc, d_params, state.d_spectral, x_real, dk_real, update_sn=True
+            )
+            if use_hinge:
+                loss = jnp.mean(jax.nn.relu(1.0 - logits_real.astype(jnp.float32)))
+            else:
+                loss = common.bce_logits_mean(
+                    jnp.ones_like(logits_real), logits_real
+                )
+            return loss, (logits_real, new_sp)
+
+        (d_loss_real, (logits_real, new_sp)), d_grads1 = jax.value_and_grad(
+            d_real_loss_fn, has_aux=True
+        )(state.d_params)
+        d_updates1, d_opt_mid = d_tx.update(d_grads1, state.d_opt, state.d_params)
+        d_params_mid = optax.apply_updates(state.d_params, d_updates1)
+
+        # ---- D update #2: stale fake batch on the real-updated D
+        # (SNDCGAN.py:259-267; two Adam applies per batch is faithful).
+        def d_fake_loss_fn(d_params):
+            logits_fake, _ = _d_apply(
+                disc, d_params, new_sp, fake_images, dk_fake
+            )
+            if use_hinge:
+                loss = jnp.mean(jax.nn.relu(1.0 + logits_fake.astype(jnp.float32)))
+            else:
+                loss = common.bce_logits_mean(
+                    jnp.zeros_like(logits_fake), logits_fake
+                )
+            return loss, logits_fake
+
+        (d_loss_fake, logits_fake), d_grads2 = jax.value_and_grad(
+            d_fake_loss_fn, has_aux=True
+        )(d_params_mid)
+        d_updates2, new_d_opt = d_tx.update(d_grads2, d_opt_mid, d_params_mid)
+        new_d_params = optax.apply_updates(d_params_mid, d_updates2)
+
+        metrics = {
+            "g_loss": g_loss,
+            "d_loss": d_loss_real + d_loss_fake,  # SNDCGAN.py:264
+            "d_loss_real": d_loss_real,
+            "d_loss_fake": d_loss_fake,
+            "d_prob_real": jnp.mean(jax.nn.sigmoid(logits_real.astype(jnp.float32))),
+            "d_prob_fake": jnp.mean(jax.nn.sigmoid(logits_fake.astype(jnp.float32))),
+        }
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=new_g_params,
+            g_batch_stats=new_g_bs,
+            g_opt=new_g_opt,
+            d_params=new_d_params,
+            d_spectral=new_sp,
+            d_opt=new_d_opt,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_sampler(cfg: SNDCGANTrainConfig):
+    """Jittable fixed-z sampler: (state, z) -> images in [0, 1].
+
+    Mirrors generator_output.create_samples (generator_output.py:25-28):
+    G(z, training=False), denormalized to [0, 1].
+    """
+    gen, _, _, _ = build(cfg)
+
+    def sample(state: SNDCGANState, z: jax.Array) -> jax.Array:
+        imgs, _ = _g_apply(gen, state.g_params, state.g_batch_stats, z, False)
+        return (imgs.astype(jnp.float32) + 1.0) / 2.0
+
+    return sample
+
+
+def make_epoch_runner(cfg: SNDCGANTrainConfig):
+    """Device-resident whole-epoch runner: scans the fused step over batches.
+
+    TPU-native fast path with zero per-batch host involvement: the (uint8)
+    dataset lives in HBM; each scan iteration gathers its shuffled batch by
+    index and runs the fused step. Metrics come back stacked per batch.
+    """
+    step_fn = make_train_step(cfg)
+
+    def run_epoch(state: SNDCGANState, images_u8: jax.Array, perm: jax.Array):
+        """images_u8: (N,H,W,C) resident dataset; perm: (nb, B) batch indices."""
+
+        def body(carry, idx):
+            new_carry, metrics = step_fn(carry, jnp.take(images_u8, idx, axis=0))
+            return new_carry, metrics
+
+        return jax.lax.scan(body, state, perm)
+
+    return run_epoch
