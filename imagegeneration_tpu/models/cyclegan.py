@@ -101,12 +101,23 @@ class Discriminator(fnn.Module):
         dt = cfg.dtype
         x = x.astype(dt)
         for i, (feats, use_norm) in enumerate(_DISC_TRUNK):
+            if min(x.shape[1], x.shape[2]) < 4:
+                raise ValueError(
+                    f"PatchGAN input too small: spatial dims shrank to "
+                    f"{x.shape[1]}x{x.shape[2]} before conv{i}; the VALID "
+                    f"4x4 stack needs >= 94px input (reference uses 128)."
+                )
             x = Conv(feats, (4, 4), (2, 2), "VALID", dtype=dt, name=f"conv{i}")(x)
             if use_norm:
                 x = InstanceNorm(
                     quirk_axis1=cfg.quirk_axis1, dtype=dt, name=f"conv{i}_in"
                 )(x)
             x = jax.nn.leaky_relu(x, negative_slope=0.2)
+        if min(x.shape[1], x.shape[2]) < 4:
+            raise ValueError(
+                f"PatchGAN trunk output {x.shape[1]}x{x.shape[2]} smaller than "
+                f"the 4x4 head; input resolution too small (needs >= 94px)."
+            )
         x = Conv(1, (4, 4), (1, 1), "VALID", dtype=dt, name="head")(x)
         return x.astype(jnp.float32)
 

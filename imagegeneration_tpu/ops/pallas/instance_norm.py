@@ -1,0 +1,165 @@
+"""Fused InstanceNorm (+ optional ReLU) as a Pallas TPU kernel.
+
+Instance normalization is the most frequent op in the CycleGAN generator
+(23 IN layers per forward, cyclegan/CycleGAN.py:60-183) and is memory-bound:
+the XLA lowering reads the activation for the statistics reduction and again
+for normalization. This kernel keeps one (H, W, C-block) tile resident in
+VMEM and does stats + normalize + affine + activation in a single HBM
+read/write pass.
+
+Grid: (B, C // C_BLOCK); each program owns one sample's channel block —
+statistics are per (sample, channel) over (H, W), i.e. the *corrected* IN
+semantics (the reference's axis=1 quirk path stays on the XLA fallback).
+
+The backward pass is standard IN calculus in plain XLA (`_in_bwd`) via
+custom_vjp — the fwd residuals are (x, mean, rstd, gamma), and XLA fuses the
+backward elementwise chain into the surrounding gradient graph fine; the
+fwd fusion is where the HBM traffic win is.
+
+Use `instance_norm(x, gamma, beta, eps=..., relu=..., backend=...)`:
+backend "pallas" requires C % C_BLOCK_CANDIDATES alignment and TPU;
+"xla" is the reference implementation; "auto" picks pallas on TPU when
+shapes allow. Both paths are tested against each other (interpret mode on
+CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget per program ~= H*W*CB*4B (x) * ~2 (y) — keep blocks <= ~4 MB.
+_VMEM_TARGET_BYTES = 4 * 1024 * 1024
+
+
+def _pick_c_block(h: int, w: int, c: int) -> int | None:
+    """Largest channel block (multiple of 128 when possible) fitting VMEM."""
+    for cb in (512, 256, 128, 64, 32, 16, 8):
+        if c % cb == 0 and h * w * cb * 4 <= _VMEM_TARGET_BYTES:
+            return cb
+    return None
+
+
+def _in_fwd_kernel(x_ref, gamma_ref, beta_ref, y_ref, mean_ref, rstd_ref,
+                   *, eps: float, relu: bool):
+    x = x_ref[0].astype(jnp.float32)  # (H, W, CB)
+    hw = x.shape[0] * x.shape[1]
+    mean = jnp.sum(x, axis=(0, 1)) / hw  # (CB,)
+    var = jnp.sum(x * x, axis=(0, 1)) / hw - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean[None, None, :]) * rstd[None, None, :]
+    y = xhat * gamma_ref[...][None, None, :] + beta_ref[...][None, None, :]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    y_ref[0] = y.astype(y_ref.dtype)
+    mean_ref[0] = mean
+    rstd_ref[0] = rstd
+
+
+def _in_fwd_pallas(x, gamma, beta, eps: float, relu: bool, interpret: bool):
+    b, h, w, c = x.shape
+    cb = _pick_c_block(h, w, c)
+    assert cb is not None
+    grid = (b, c // cb)
+    y, mean, rstd = pl.pallas_call(
+        functools.partial(_in_fwd_kernel, eps=eps, relu=relu),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, w, cb), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, w, cb), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, gamma.astype(jnp.float32), beta.astype(jnp.float32))
+    return y, mean, rstd
+
+
+def _in_fwd_xla(x, gamma, beta, eps: float, relu: bool):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2))  # (B, C)
+    var = jnp.var(x32, axis=(1, 2))
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x32 - mean[:, None, None, :]) * rstd[:, None, None, :]
+    y = xhat * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype), mean, rstd
+
+
+def _in_bwd(eps, relu, backend, res, dy):
+    x, gamma, mean, rstd, y = res
+    x32 = x.astype(jnp.float32)
+    dy = dy.astype(jnp.float32)
+    if relu:
+        dy = dy * (y > 0)
+    xhat = (x32 - mean[:, None, None, :]) * rstd[:, None, None, :]
+    dbeta = jnp.sum(dy, axis=(0, 1, 2))
+    dgamma = jnp.sum(dy * xhat, axis=(0, 1, 2))
+    g = dy * gamma.astype(jnp.float32)  # (B,H,W,C)
+    mean_g = jnp.mean(g, axis=(1, 2), keepdims=True)
+    mean_gx = jnp.mean(g * xhat, axis=(1, 2), keepdims=True)
+    dx = rstd[:, None, None, :] * (g - mean_g - xhat * mean_gx)
+    return (
+        dx.astype(x.dtype),
+        dgamma.astype(gamma.dtype),
+        dbeta.astype(gamma.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def instance_norm(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    eps: float = 1e-3,
+    relu: bool = False,
+    backend: str = "auto",
+) -> jax.Array:
+    """Per-(sample, channel) instance norm over (H, W) with affine (+ReLU)."""
+    y, _, _ = _in_fwd(x, gamma, beta, eps, relu, backend)
+    return y
+
+
+def _resolve_backend(x, backend: str) -> str:
+    if backend == "auto":
+        on_tpu = any(
+            d.platform == "tpu" for d in jax.devices()
+        ) or jax.default_backend() in ("tpu", "axon")
+        b, h, w, c = x.shape
+        if on_tpu and _pick_c_block(h, w, c) is not None:
+            return "pallas"
+        return "xla"
+    return backend
+
+
+def _in_fwd(x, gamma, beta, eps, relu, backend):
+    resolved = _resolve_backend(x, backend)
+    if resolved == "pallas":
+        return _in_fwd_pallas(x, gamma, beta, eps, relu, interpret=False)
+    if resolved == "pallas_interpret":  # CPU testing path
+        return _in_fwd_pallas(x, gamma, beta, eps, relu, interpret=True)
+    return _in_fwd_xla(x, gamma, beta, eps, relu)
+
+
+def _fwd_rule(x, gamma, beta, eps, relu, backend):
+    y, mean, rstd = _in_fwd(x, gamma, beta, eps, relu, backend)
+    return y, (x, gamma, mean, rstd, y)
+
+
+instance_norm.defvjp(_fwd_rule, _in_bwd)

@@ -53,5 +53,29 @@ def tree_cast(tree: Any, dtype) -> Any:
     return jax.tree.map(lambda x: x.astype(dtype), tree)
 
 
+def make_replicator(mesh):
+    """Returns tree -> tree constraining every leaf to full replication.
+
+    Used on parameter/optimizer trees after each in-step optimizer apply when
+    running under a mesh. Besides being the intended layout (state replicated,
+    batch sharded), this works around an XLA SPMD partitioner miscompile
+    observed on the grad -> adam -> second-forward chain under spatial (H)
+    batch sharding: without the constraint the partitioner propagates a
+    spatial sharding into the updated weights of the follow-up forward pass
+    and produces wrong numerics (see tests/test_parallel.py)."""
+    if mesh is None:
+        return lambda tree: tree
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec())
+
+    def _constrain(tree: Any) -> Any:
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, sharding), tree
+        )
+
+    return _constrain
+
+
 def global_norm(tree: Any) -> jax.Array:
     return optax.global_norm(tree)

@@ -62,6 +62,7 @@ class SNDCGANEngine:
         spectral_norm: bool = False,
         loss: str = "bce",
         quirk_eval_bn: bool = False,
+        base_width: int = 512,
         dtype=jnp.float32,
         seed: int = rnglib.DEFAULT_MODEL_SEED,
         mesh=None,
@@ -85,6 +86,7 @@ class SNDCGANEngine:
             image_size=image_size,
             z_size=z_size,
             dropout_rate=dropout,
+            base_width=base_width,
             spectral_norm=spectral_norm,
             quirk_eval_bn=quirk_eval_bn,
             dtype=dtype,
@@ -100,7 +102,7 @@ class SNDCGANEngine:
         self.chain = rnglib.KeyChain(seed)
         self.state = steplib.init_state(self.cfg)
 
-        step_fn = steplib.make_train_step(self.cfg)
+        step_fn = steplib.make_train_step(self.cfg, mesh=mesh)
         if mesh is not None:
             self._step = dp.shard_train_step(step_fn, mesh)
             self.state = dp.replicate_state(self.state, mesh)

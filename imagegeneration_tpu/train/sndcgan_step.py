@@ -114,13 +114,16 @@ def _d_apply(disc, params, spectral, x, key, train=True, update_sn=False):
     return logits, spectral
 
 
-def make_train_step(cfg: SNDCGANTrainConfig):
+def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
     """Build the fused (state, uint8 batch) -> (state, metrics) step.
 
     Call via `jax.jit(step, donate_argnums=0)` (train engine does this) or
-    shard it over a mesh with parallel/dp.py.
+    shard it over a mesh with parallel/dp.py — in the mesh case pass the mesh
+    here too so in-step updated parameters are constrained to replication
+    (layout intent + partitioner-bug workaround; see common.make_replicator).
     """
     gen, disc, g_tx, d_tx = build(cfg)
+    replicate = common.make_replicator(mesh)
     chain = rnglib.KeyChain(cfg.seed)
     z_stream = chain.stream("z")
     drop_stream = chain.stream("dropout")
@@ -152,7 +155,7 @@ def make_train_step(cfg: SNDCGANTrainConfig):
             g_loss_fn, has_aux=True
         )(state.g_params)
         g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
-        new_g_params = optax.apply_updates(state.g_params, g_updates)
+        new_g_params = replicate(optax.apply_updates(state.g_params, g_updates))
         # The fake batch used below is from the PRE-update generator — the
         # reference reuses `g_output` across tapes (SNDCGAN.py:243,260).
         fake_images = jax.lax.stop_gradient(fake_images)
@@ -174,7 +177,7 @@ def make_train_step(cfg: SNDCGANTrainConfig):
             d_real_loss_fn, has_aux=True
         )(state.d_params)
         d_updates1, d_opt_mid = d_tx.update(d_grads1, state.d_opt, state.d_params)
-        d_params_mid = optax.apply_updates(state.d_params, d_updates1)
+        d_params_mid = replicate(optax.apply_updates(state.d_params, d_updates1))
 
         # ---- D update #2: stale fake batch on the real-updated D
         # (SNDCGAN.py:259-267; two Adam applies per batch is faithful).
@@ -194,7 +197,7 @@ def make_train_step(cfg: SNDCGANTrainConfig):
             d_fake_loss_fn, has_aux=True
         )(d_params_mid)
         d_updates2, new_d_opt = d_tx.update(d_grads2, d_opt_mid, d_params_mid)
-        new_d_params = optax.apply_updates(d_params_mid, d_updates2)
+        new_d_params = replicate(optax.apply_updates(d_params_mid, d_updates2))
 
         metrics = {
             "g_loss": g_loss,

@@ -53,6 +53,7 @@ class WGANEngine:
         save_interval: int = 20,
         *,
         learning_rate: float = 5e-5,
+        base_width: int = 512,
         dtype=jnp.float32,
         seed: int = rnglib.DEFAULT_MODEL_SEED,
         mesh=None,
@@ -76,7 +77,9 @@ class WGANEngine:
         self.mesh = mesh
 
         self.cfg = steplib.WGANTrainConfig(
-            model=modellib.WGANConfig(image_size=image_size, dtype=dtype),
+            model=modellib.WGANConfig(
+                image_size=image_size, base_width=base_width, dtype=dtype
+            ),
             batch_size=batch_size,
             n_critic=critic_learn_iterations,
             learning_rate=learning_rate,
@@ -86,7 +89,7 @@ class WGANEngine:
         self.state = steplib.init_state(self.cfg)
         self.latent_dim = self.cfg.model.z_size
 
-        step_fn = steplib.make_train_step(self.cfg)
+        step_fn = steplib.make_train_step(self.cfg, mesh=mesh)
         if mesh is not None:
             self._step = dp.shard_train_step(step_fn, mesh)
             self.state = dp.replicate_state(self.state, mesh)

@@ -92,8 +92,9 @@ def init_state(cfg: WGANTrainConfig) -> WGANState:
     )
 
 
-def make_train_step(cfg: WGANTrainConfig):
+def make_train_step(cfg: WGANTrainConfig, mesh=None):
     gen, critic, c_tx, gan_tx = build(cfg)
+    replicate = common.make_replicator(mesh)
     chain = rnglib.KeyChain(cfg.seed)
     z_stream = chain.stream("z")
 
@@ -112,7 +113,7 @@ def make_train_step(cfg: WGANTrainConfig):
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(c_params)
         updates, new_opt = c_tx.update(grads, c_opt, c_params)
         new_params = optax.apply_updates(c_params, updates)
-        new_params = modellib.clip_critic_kernels(new_params)
+        new_params = replicate(modellib.clip_critic_kernels(new_params))
         return new_params, new_bs, new_opt, loss
 
     def train_step(state: WGANState, batch_u8: jax.Array):
@@ -176,7 +177,9 @@ def make_train_step(cfg: WGANTrainConfig):
             updates, new_gan_opt = gan_tx.update(
                 (g_grads, c_grads), gan_opt, (g_params, cp)
             )
-            new_g_params, new_cp = optax.apply_updates((g_params, cp), updates)
+            new_g_params, new_cp = replicate(
+                optax.apply_updates((g_params, cp), updates)
+            )
             return (
                 new_g_params, new_g_bs, new_cp, new_c_bs, new_gan_opt, g_loss
             )
