@@ -28,7 +28,7 @@ def evaluate_fid(
     disc_epoch: int,
     continue_: bool,
     image_size=(144, 256, 3),
-    sqrtm_method: str = "newton_schulz",
+    sqrtm_method: str = "lowrank",
 ):
     from imagegeneration_tpu.core.data import ImageFolderDataset
     from imagegeneration_tpu.evalx.fid import FIDEvaluator
@@ -89,7 +89,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--height", type=int, default=144)
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument(
-        "--sqrtm", choices=["newton_schulz", "scipy"], default="newton_schulz"
+        "--sqrtm", choices=["lowrank", "newton_schulz", "scipy"], default="lowrank"
     )
     return parser
 

@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument("--z", type=int, dest="z_size", default=128)
     parser.add_argument("--seed", type=int, default=62)
+    parser.add_argument("--profile", action="store_true", default=False,
+                        help="capture a jax.profiler trace of the first "
+                        "post-compile epoch into <dir>/traces")
     return parser
 
 
@@ -100,6 +103,7 @@ def main(argv=None) -> None:
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         seed=args.seed,
         mesh=mesh,
+        profile=args.profile,
     )
     # Reference quirk preserved: Trainer.py:37 trains epochs+1.
     engine.train(args.epochs + 1, args.ckptFreq)

@@ -86,6 +86,34 @@ class Stopwatch:
         }
 
 
+class ProfilerHook:
+    """jax.profiler trace capture around a step window (SURVEY.md §5: the
+    reference has no tracing at all). Captures epoch `start_epoch + 1` — the
+    first post-compile epoch — into <outdir>/traces for xprof/tensorboard."""
+
+    def __init__(self, out_dir: str | Path, enabled: bool = False):
+        self.out_dir = str(Path(out_dir) / "traces")
+        self.enabled = enabled
+        self._active = False
+
+    def maybe_start(self, epoch: int, first_real_epoch: int) -> None:
+        if self.enabled and not self._active and epoch == first_real_epoch:
+            import jax
+
+            Path(self.out_dir).mkdir(parents=True, exist_ok=True)
+            jax.profiler.start_trace(self.out_dir)
+            self._active = True
+
+    def maybe_stop(self) -> None:
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+            self.enabled = False
+            print(f"profiler trace written to {self.out_dir}")
+
+
 def write_metrics_jsonl(path: str | Path, record: dict) -> None:
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)

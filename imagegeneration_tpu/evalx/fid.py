@@ -10,8 +10,10 @@ Parity with sndcgan/generator_evaluation.py:
   across epochs (`init_fid_evaluation`, :58-102);
 - per-epoch FIDs accumulate incrementally into fids.pickle so an interrupted
   evaluation resumes where it stopped (:143-155,178-184);
-- FID math: per-batch mu/cov + tr sqrtm(cov_f cov_r) cross term (:36-55),
-  with the sqrtm on-device via Newton–Schulz (ops/sqrtm.py) by default.
+- FID math: per-batch mu/cov + tr sqrtm(cov_f cov_r) cross term (:36-55);
+  the cross term is computed exactly via the low-rank nuclear-norm identity
+  by default (ops/sqrtm.trace_sqrtm_product_lowrank) — the d x d sqrtm the
+  reference does on host is never formed.
 
 Corrected quirk (documented delta): the reference feeds the discriminator
 fake images denormalized to [0,1] (create_samples) but real images in [-1,1]
@@ -39,21 +41,45 @@ from imagegeneration_tpu.models.sndcgan import (
     Generator,
     SNDCGANConfig,
 )
-from imagegeneration_tpu.ops.sqrtm import trace_sqrtm_product
+from imagegeneration_tpu.ops.sqrtm import (
+    trace_sqrtm_product,
+    trace_sqrtm_product_lowrank,
+)
 
 MAX_BATCHES = 16  # generator_evaluation.py:29
 
 
 def calculate_fid_from_features(
-    feats_fake: np.ndarray, feats_real: np.ndarray, method: str = "newton_schulz"
+    feats_fake: np.ndarray, feats_real: np.ndarray, method: str = "lowrank"
 ) -> float:
-    """Frechet distance between feature Gaussians (generator_evaluation.py:36-55)."""
+    """Frechet distance between feature Gaussians (generator_evaluation.py:36-55).
+
+    method "lowrank" (default): exact cross term via the nuclear norm of the
+    tiny cross matrix (ops/sqrtm.trace_sqrtm_product_lowrank) — equal to the
+    reference's sqrtm formulation but stable in the samples<<dims regime the
+    discriminator-feature FID always operates in. "scipy": the reference's
+    full d x d host sqrtm. "newton_schulz": device iteration (only for
+    well-conditioned covariances).
+    """
     feats_fake = np.asarray(feats_fake, np.float64)
     feats_real = np.asarray(feats_real, np.float64)
     mu_f, mu_r = feats_fake.mean(axis=0), feats_real.mean(axis=0)
+    ssdiff = float(np.sum((mu_f - mu_r) ** 2))
+    # tr(cov) without materializing it: mean squared centered norm.
+    def _trace_cov(f, mu):
+        n = max(f.shape[0] - 1, 1)
+        return float(np.sum((f - mu) ** 2) / n)
+
+    if method == "lowrank":
+        tr_cross = trace_sqrtm_product_lowrank(feats_fake, feats_real)
+        return (
+            ssdiff
+            + _trace_cov(feats_fake, mu_f)
+            + _trace_cov(feats_real, mu_r)
+            - 2.0 * tr_cross
+        )
     cov_f = np.cov(feats_fake, rowvar=False)
     cov_r = np.cov(feats_real, rowvar=False)
-    ssdiff = float(np.sum((mu_f - mu_r) ** 2))
     tr_cross = trace_sqrtm_product(
         cov_f.astype(np.float32), cov_r.astype(np.float32), method
     )
@@ -71,7 +97,7 @@ class FIDEvaluator:
         z_size: int = 128,
         dropout: float = 0.5,
         seed: int = rnglib.DEFAULT_MODEL_SEED,
-        sqrtm_method: str = "newton_schulz",
+        sqrtm_method: str = "lowrank",
     ) -> None:
         self.dir_path = dir_path
         self.output_dir = output_dir

@@ -43,6 +43,10 @@ class CycleGANConfig:
     base_width: int = 64
     n_res_blocks: int = 9  # CycleGAN.py:168-176
     quirk_axis1: bool = False
+    # InstanceNorm backend: "auto" uses the fused Pallas kernel on TPU where
+    # the block fits VMEM (all 18 res-block INs at the reference's 128px),
+    # falling back to XLA elsewhere. "xla" forces the fallback.
+    in_backend: str = "auto"
     dtype: Any = jnp.float32
 
 
@@ -61,28 +65,28 @@ class Generator(fnn.Module):
 
         # conv_c7_s1(64)
         x = Conv(base, (7, 7), (1, 1), "SAME", dtype=dt, name="stem_conv")(x)
-        x = InstanceNorm(quirk_axis1=q, dtype=dt, name="stem_in")(x)
+        x = InstanceNorm(quirk_axis1=q, backend=cfg.in_backend, dtype=dt, name="stem_in")(x)
         x = jax.nn.relu(x)
 
         # d_conv(128), d_conv(256): ReflectionPad + 3x3 s2 VALID + IN + ReLU
         for i, feats in enumerate((base * 2, base * 4)):
             x = reflection_pad_2d(x, (1, 1))
             x = Conv(feats, (3, 3), (2, 2), "VALID", dtype=dt, name=f"down{i}")(x)
-            x = InstanceNorm(quirk_axis1=q, dtype=dt, name=f"down{i}_in")(x)
+            x = InstanceNorm(quirk_axis1=q, backend=cfg.in_backend, dtype=dt, name=f"down{i}_in")(x)
             x = jax.nn.relu(x)
 
         for i in range(cfg.n_res_blocks):
-            x = ResBlock(base * 4, quirk_axis1=q, dtype=dt, name=f"res{i}")(x)
+            x = ResBlock(base * 4, quirk_axis1=q, in_backend=cfg.in_backend, dtype=dt, name=f"res{i}")(x)
 
         # u_conv(128), u_conv(64): ConvT 3x3 s2 SAME + IN + ReLU
         for i, feats in enumerate((base * 2, base)):
             x = ConvTranspose(feats, (3, 3), (2, 2), "SAME", dtype=dt, name=f"up{i}")(x)
-            x = InstanceNorm(quirk_axis1=q, dtype=dt, name=f"up{i}_in")(x)
+            x = InstanceNorm(quirk_axis1=q, backend=cfg.in_backend, dtype=dt, name=f"up{i}_in")(x)
             x = jax.nn.relu(x)
 
         # conv_c7_s1(3, use_tanh=True): conv + IN + tanh (IN before tanh!)
         x = Conv(3, (7, 7), (1, 1), "SAME", dtype=dt, name="to_rgb")(x)
-        x = InstanceNorm(quirk_axis1=q, dtype=dt, name="to_rgb_in")(x)
+        x = InstanceNorm(quirk_axis1=q, backend=cfg.in_backend, dtype=dt, name="to_rgb_in")(x)
         return jnp.tanh(x.astype(jnp.float32))
 
 
@@ -110,7 +114,8 @@ class Discriminator(fnn.Module):
             x = Conv(feats, (4, 4), (2, 2), "VALID", dtype=dt, name=f"conv{i}")(x)
             if use_norm:
                 x = InstanceNorm(
-                    quirk_axis1=cfg.quirk_axis1, dtype=dt, name=f"conv{i}_in"
+                    quirk_axis1=cfg.quirk_axis1, backend=cfg.in_backend,
+                    dtype=dt, name=f"conv{i}_in",
                 )(x)
             x = jax.nn.leaky_relu(x, negative_slope=0.2)
         if min(x.shape[1], x.shape[2]) < 4:

@@ -142,6 +142,12 @@ class Discriminator(fnn.Module):
         if features:
             # AvgPool(8x8, stride 8, VALID) + flatten, as in the reference's
             # FID feature extractor.
+            if min(x.shape[1], x.shape[2]) < 8:
+                raise ValueError(
+                    f"FID feature extractor needs a trunk >= 8x8 after the "
+                    f"three stride-2 convs (got {x.shape[1]}x{x.shape[2]}); "
+                    f"use images >= 64px per side (reference: 144x256)."
+                )
             x = fnn.avg_pool(x, (8, 8), strides=(8, 8), padding="VALID")
             return x.reshape(x.shape[0], -1).astype(jnp.float32)
 

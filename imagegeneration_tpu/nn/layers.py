@@ -185,11 +185,32 @@ class InstanceNorm(fnn.Module):
     quirk_axis1: bool = False
     use_scale: bool = True
     use_bias: bool = True
+    # "xla" | "pallas" | "auto": route the corrected per-channel path through
+    # the fused single-HBM-pass Pallas kernel (ops/pallas/instance_norm).
+    backend: str = "xla"
     dtype: Dtype | None = None
     param_dtype: Dtype = jnp.float32
 
     @fnn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if (
+            not self.quirk_axis1
+            and self.backend != "xla"
+            and self.use_scale
+            and self.use_bias
+        ):
+            from imagegeneration_tpu.ops.pallas.instance_norm import instance_norm
+
+            gamma = self.param(
+                "scale", KERAS_RANDOM_UNIFORM, (x.shape[-1],), self.param_dtype
+            )
+            beta = self.param(
+                "bias", KERAS_RANDOM_UNIFORM, (x.shape[-1],), self.param_dtype
+            )
+            y = instance_norm(
+                x, gamma, beta, self.epsilon, False, self.backend
+            )
+            return y.astype(self.dtype or x.dtype)
         if self.quirk_axis1:
             # Per-H-position parameters, normalized over (W, C).
             reduction_axes = (2, 3)
@@ -236,6 +257,7 @@ class ResBlock(fnn.Module):
 
     features: int
     quirk_axis1: bool = False
+    in_backend: str = "xla"
     dtype: Dtype | None = None
     param_dtype: Dtype = jnp.float32
 
@@ -246,8 +268,8 @@ class ResBlock(fnn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv1",
         )(x)
         fx = InstanceNorm(
-            quirk_axis1=self.quirk_axis1, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="in1",
+            quirk_axis1=self.quirk_axis1, backend=self.in_backend,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="in1",
         )(fx)
         fx = jax.nn.relu(fx)
         fx = Conv(
@@ -256,7 +278,7 @@ class ResBlock(fnn.Module):
         )(fx)
         out = jax.nn.relu(x + fx)
         out = InstanceNorm(
-            quirk_axis1=self.quirk_axis1, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="in2",
+            quirk_axis1=self.quirk_axis1, backend=self.in_backend,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="in2",
         )(out)
         return out

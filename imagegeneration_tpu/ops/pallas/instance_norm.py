@@ -32,14 +32,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget per program ~= H*W*CB*4B (x) * ~2 (y) — keep blocks <= ~4 MB.
-_VMEM_TARGET_BYTES = 4 * 1024 * 1024
+# VMEM budget per program ~= H*W*CB*4B for x + the same for y (+ double
+# buffering) — keep the x block <= ~2 MB so the whole working set fits.
+_VMEM_TARGET_BYTES = 2 * 1024 * 1024
 
 
 def _pick_c_block(h: int, w: int, c: int) -> int | None:
-    """Largest channel block (multiple of 128 when possible) fitting VMEM."""
-    for cb in (512, 256, 128, 64, 32, 16, 8):
-        if c % cb == 0 and h * w * cb * 4 <= _VMEM_TARGET_BYTES:
+    """Largest channel block satisfying the Mosaic tiling rules.
+
+    The (1, H, W, CB) input block's last two dims must be (div-8, div-128) or
+    equal to the full array dims: W is always full here, so CB must be a
+    multiple of 128 or equal to C itself. Returns None when nothing fits VMEM
+    (caller falls back to XLA — e.g. CycleGAN's 128x128 stem layers; the 18
+    res-block INs at 32x32 all hit the kernel)."""
+    candidates = [c] + [cb for cb in (512, 384, 256, 128) if cb < c and c % cb == 0]
+    for cb in sorted(set(candidates), reverse=True):
+        if h * w * cb * 4 <= _VMEM_TARGET_BYTES:
             return cb
     return None
 
@@ -52,12 +60,12 @@ def _in_fwd_kernel(x_ref, gamma_ref, beta_ref, y_ref, mean_ref, rstd_ref,
     var = jnp.sum(x * x, axis=(0, 1)) / hw - mean * mean
     rstd = jax.lax.rsqrt(var + eps)
     xhat = (x - mean[None, None, :]) * rstd[None, None, :]
-    y = xhat * gamma_ref[...][None, None, :] + beta_ref[...][None, None, :]
+    y = xhat * gamma_ref[0][None, :] + beta_ref[0][None, :]
     if relu:
         y = jnp.maximum(y, 0.0)
     y_ref[0] = y.astype(y_ref.dtype)
-    mean_ref[0] = mean
-    rstd_ref[0] = rstd
+    mean_ref[0, 0] = mean
+    rstd_ref[0, 0] = rstd
 
 
 def _in_fwd_pallas(x, gamma, beta, eps: float, relu: bool, interpret: bool):
@@ -71,23 +79,33 @@ def _in_fwd_pallas(x, gamma, beta, eps: float, relu: bool, interpret: bool):
         in_specs=[
             pl.BlockSpec((1, h, w, cb), lambda i, j: (i, 0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cb,), lambda i, j: (j,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cb,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+            # params as (1, C) 2D operands (Mosaic 1D operand layouts clash
+            # with XLA's for C not a multiple of 256)
+            pl.BlockSpec((1, cb), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, h, w, cb), lambda i, j: (i, 0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            # stats as (B, 1, C): block (1, 1, CB) keeps the last-two-dims
+            # tiling rule satisfied (1 == full middle dim; CB div 128 or == C)
+            pl.BlockSpec((1, 1, cb), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cb), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
         ],
         interpret=interpret,
-    )(x, gamma.astype(jnp.float32), beta.astype(jnp.float32))
-    return y, mean, rstd
+    )(
+        x,
+        gamma.astype(jnp.float32).reshape(1, -1),
+        beta.astype(jnp.float32).reshape(1, -1),
+    )
+    return y, mean[:, 0, :], rstd[:, 0, :]
 
 
 def _in_fwd_xla(x, gamma, beta, eps: float, relu: bool):

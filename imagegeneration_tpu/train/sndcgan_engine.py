@@ -67,7 +67,9 @@ class SNDCGANEngine:
         seed: int = rnglib.DEFAULT_MODEL_SEED,
         mesh=None,
         resident: bool | None = None,
+        profile: bool = False,
     ) -> None:
+        self.profile = profile
         if not continue_ and os.path.exists(dir_path):
             shutil.rmtree(dir_path)
         os.makedirs(dir_path, exist_ok=True)
@@ -219,15 +221,18 @@ class SNDCGANEngine:
     def train(self, num_epochs: int, checkpoint_frequency: int = 5) -> None:
         start_time = time()
         watch = metricslib.Stopwatch()
+        profiler = metricslib.ProfilerHook(self.dir_path, self.profile)
         local = {k: [] for k in LOSS_KEYS}
 
         for epoch in range(self.start_epoch, num_epochs):
             watch.epoch_start()
+            profiler.maybe_start(epoch, self.start_epoch + 1)
             if self.resident:
                 agg, n_steps = self._run_epoch_resident(epoch)
             else:
                 agg, n_steps = self._run_epoch_streaming(epoch)
 
+            profiler.maybe_stop()
             perf = watch.epoch_report(n_steps, n_steps * self.batch_size)
             metricslib.write_metrics_jsonl(
                 path.join(self.dir_path, "perf.jsonl"),

@@ -51,12 +51,26 @@ def test_fid_positive_and_orders_correctly():
 
 
 def test_fid_newton_schulz_vs_scipy_consistent():
+    """NS works in the well-conditioned (samples >> dims) regime only."""
     rng = np.random.default_rng(3)
     fake = rng.normal(size=(128, 8)).astype(np.float32)
     real = rng.normal(loc=0.5, size=(128, 8)).astype(np.float32)
     f_ns = calculate_fid_from_features(fake, real, "newton_schulz")
     f_sp = calculate_fid_from_features(fake, real, "scipy")
     assert f_ns == pytest.approx(f_sp, rel=1e-3)
+
+
+def test_fid_lowrank_matches_scipy_in_rank_deficient_regime():
+    """The realistic disc-feature FID regime: samples << dims. The default
+    lowrank method must agree with the reference's scipy sqrtm formulation."""
+    rng = np.random.default_rng(4)
+    for n, d in ((4, 512), (32, 512), (128, 64)):
+        fake = rng.normal(size=(n, d)).astype(np.float32)
+        real = rng.normal(loc=0.3, size=(n, d)).astype(np.float32)
+        f_lr = calculate_fid_from_features(fake, real, "lowrank")
+        f_sp = calculate_fid_from_features(fake, real, "scipy")
+        assert f_lr == pytest.approx(f_sp, rel=5e-3)
+        assert np.isfinite(f_lr)
 
 
 def test_vgg_feature_shape():

@@ -21,9 +21,11 @@ def _inputs(b=2, h=8, w=8, c=16, seed=0):
 
 
 def test_pick_c_block():
-    assert _pick_c_block(128, 128, 256) in (8, 16, 32, 64)
+    # 128x128x256: no Mosaic-legal block fits VMEM -> XLA fallback
+    assert _pick_c_block(128, 128, 256) is None
     assert _pick_c_block(8, 8, 128) == 128
-    assert _pick_c_block(8, 8, 100) is None  # no aligned divisor
+    assert _pick_c_block(8, 8, 100) == 100  # full-C block is always legal
+    assert _pick_c_block(32, 32, 256) == 256  # res-block interior: full C fits
 
 
 def test_pallas_interpret_matches_xla_forward():
