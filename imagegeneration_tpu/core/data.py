@@ -101,8 +101,25 @@ def load_image(
     path: str | Path, image_size: tuple[int, int], crop_to_aspect_ratio: bool = True
 ) -> np.ndarray:
     """Decode one image to uint8 (H, W, 3), center-cropped to the target
-    aspect ratio then bilinearly resized (TF crop_to_aspect_ratio semantics)."""
+    aspect ratio then bilinearly resized (TF crop_to_aspect_ratio semantics).
+
+    Decode priority: the native libjpeg extension (ops/native/fastimage —
+    DCT-prescaled decode + single-pass crop/resize, GIL-free), then cv2,
+    then PIL."""
     th, tw = image_size
+    path = Path(path)
+    if path.suffix.lower() in (".jpg", ".jpeg"):
+        from imagegeneration_tpu.ops.native import get_fastimage
+
+        fi = get_fastimage()
+        if fi is not None:
+            try:
+                raw = fi.decode_resize_jpeg(
+                    path.read_bytes(), th, tw, crop_to_aspect_ratio
+                )
+                return np.frombuffer(raw, dtype=np.uint8).reshape(th, tw, 3)
+            except ValueError:
+                pass  # e.g. grayscale/CMYK jpeg -> generic fallback
     img = None
     if _HAS_CV2:
         img = cv2.imread(str(path), cv2.IMREAD_COLOR)
