@@ -34,6 +34,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache (harmless if the backend bypasses it).
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from imagegeneration_tpu.models.sndcgan import SNDCGANConfig
     from imagegeneration_tpu.train.sndcgan_step import (
         SNDCGANTrainConfig,

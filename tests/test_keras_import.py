@@ -114,6 +114,58 @@ def test_generator_import_matches_keras_output(tmp_path):
     np.testing.assert_allclose(y_jax, y_tf, atol=2e-4)
 
 
+def _keras_wgan_generator():
+    """The reference WGAN generator (wasserstein_gan/WGAN.py:105-134)."""
+    h8, w8 = H // 8, W // 8
+    init = tf.keras.initializers.RandomNormal(stddev=0.02)
+    return tf.keras.Sequential([
+        tf.keras.layers.Input(shape=(128,)),
+        tf.keras.layers.Dense(512 * h8 * w8, use_bias=False),
+        tf.keras.layers.LeakyReLU(negative_slope=0.2),
+        tf.keras.layers.Reshape((h8, w8, 512)),
+        tf.keras.layers.Conv2DTranspose(256, (4, 4), strides=(2, 2),
+                                        padding="same", use_bias=False,
+                                        kernel_initializer=init),
+        tf.keras.layers.BatchNormalization(),
+        tf.keras.layers.LeakyReLU(negative_slope=0.2),
+        tf.keras.layers.Conv2DTranspose(128, (4, 4), strides=(2, 2),
+                                        padding="same", use_bias=False,
+                                        kernel_initializer=init),
+        tf.keras.layers.BatchNormalization(),
+        tf.keras.layers.LeakyReLU(negative_slope=0.2),
+        tf.keras.layers.Conv2DTranspose(64, (4, 4), strides=(2, 2),
+                                        padding="same", use_bias=False,
+                                        kernel_initializer=init),
+        tf.keras.layers.BatchNormalization(),
+        tf.keras.layers.LeakyReLU(negative_slope=0.2),
+        tf.keras.layers.Conv2D(3, (3, 3), strides=(1, 1), padding="same",
+                               use_bias=False, activation="tanh",
+                               kernel_initializer=init),
+    ])
+
+
+def test_wgan_generator_import_matches_keras_output(tmp_path):
+    from imagegeneration_tpu.compat.keras_import import import_wgan_generator
+    from imagegeneration_tpu.models.wgan import Generator as WGen, WGANConfig
+
+    km = _keras_wgan_generator()
+    h5 = tmp_path / "model_0001.h5"
+    km.save(h5, include_optimizer=False, save_format="h5")
+
+    variables = import_wgan_generator(h5)
+    gen = WGen(WGANConfig(image_size=(H, W, 3)))
+    z = np.random.default_rng(5).normal(size=(2, 128)).astype(np.float32)
+    y_tf = km(z, training=False).numpy()
+    y_jax = np.asarray(
+        gen.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            jnp.asarray(z), train=False,
+        )
+    )
+    np.testing.assert_allclose(y_jax, y_tf, atol=2e-4)
+
+
 def test_discriminator_import_matches_keras_logits(tmp_path):
     km = _keras_discriminator()
     h5 = tmp_path / "disc_model-0.h5"
