@@ -120,8 +120,7 @@ def output_results_ckpts(
     chain = rnglib.KeyChain(seed)
     fixed_z = rnglib.uniform_z(chain.stream("preview"), batch_size, z_size)
 
-    all_epochs = sorted(mgr._mgr.all_steps())
-    epochs_used = [e for e in all_epochs if e >= start_epoch][::every]
+    epochs_used = [e for e in mgr.all_epochs() if e >= start_epoch][::every]
     epoch_samples = []
     for i, epoch in enumerate(epochs_used):
         print(f"\r Load Checkpoint {i}", end="", flush=True)

@@ -21,6 +21,13 @@ TF layers side by side):
 Reads .h5 via h5py directly (no TF dependency at import time); handles both
 the Keras 2 ("<layer>/<layer>/kernel:0") and Keras 3
 ("<layer>/<model>/<layer>/kernel") layouts.
+
+Known limitation (round 1): the CycleGAN generators were exported with
+`save_weights` on a nested-Sequential + tensorflow_addons model
+(cyclegan/CycleGAN.py:414-420); that file layout differs per Keras major
+version and tfa is unavailable here to validate a mapping, so CycleGAN
+weight import is not yet provided — CycleGAN training resumes from its own
+checkpoints instead (the reference's primary mechanism too, :250-269).
 """
 
 from __future__ import annotations

@@ -50,6 +50,9 @@ class CheckpointManager:
     def latest_epoch(self) -> int | None:
         return self._mgr.latest_step()
 
+    def all_epochs(self) -> list[int]:
+        return sorted(self._mgr.all_steps())
+
     def restore(self, state_template: Any, epoch: int | None = None) -> Any:
         """Restore into the structure of `state_template` (abstract ok)."""
         step = self._mgr.latest_step() if epoch is None else epoch

@@ -162,9 +162,20 @@ class WGANEngine:
         print(f">Saved: generated_plot_{step:04d}.jpg and {fname}")
 
     def plot_history(self) -> None:
-        self.loss_hist.plot(
-            path.join(self.path, f"plot_line_plot_loss_{self.epoch}.png")
-        )
+        """Final loss plot with the reference's series labels
+        (wasserstein_gan/WGAN.py:270-277)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.clf()
+        plt.plot(self.loss_hist.data["c1_hist"], label="crit_real loss")
+        plt.plot(self.loss_hist.data["c2_hist"], label="crit_fake loss")
+        plt.plot(self.loss_hist.data["g_hist"], label="gen loss")
+        plt.legend()
+        plt.savefig(path.join(self.path, f"plot_line_plot_loss_{self.epoch}.png"))
+        plt.close()
 
     # ---------------------------------------------------------------- train
     def _fold_metrics(self, c1, c2, g, did):
