@@ -52,6 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--quirk-axis1", action="store_true", default=False,
                         help="bug-compatible tfa InstanceNormalization(axis=1)")
     parser.add_argument("--seed", type=int, default=62)
+    parser.add_argument("--profile", action="store_true", default=False)
     return parser
 
 
@@ -76,6 +77,7 @@ def main(argv=None) -> None:
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         seed=args.seed,
         mesh=mesh,
+        profile=args.profile,
     )
     engine.train(args.epochs, args.chps)
 

@@ -29,6 +29,7 @@ def evaluate_fid(
     continue_: bool,
     image_size=(144, 256, 3),
     sqrtm_method: str = "lowrank",
+    spectral_norm: bool = False,
 ):
     from imagegeneration_tpu.core.data import ImageFolderDataset
     from imagegeneration_tpu.evalx.fid import FIDEvaluator
@@ -39,7 +40,8 @@ def evaluate_fid(
     os.makedirs(output, exist_ok=True)
 
     evaluator = FIDEvaluator(
-        dir_path, output, image_size=image_size, sqrtm_method=sqrtm_method
+        dir_path, output, image_size=image_size, sqrtm_method=sqrtm_method,
+        spectral_norm=spectral_norm,
     )
     ds = None
     if not continue_:
@@ -91,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--sqrtm", choices=["lowrank", "newton_schulz", "scipy"], default="lowrank"
     )
+    parser.add_argument(
+        "--spectral-norm", action="store_true", default=False,
+        help="the evaluated run trained with --spectral-norm",
+    )
     return parser
 
 
@@ -107,6 +113,7 @@ def main(argv=None) -> None:
         args.continue_,
         (args.height, args.width, 3),
         args.sqrtm,
+        args.spectral_norm,
     )
 
 

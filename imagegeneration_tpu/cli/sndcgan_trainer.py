@@ -70,6 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument("--z", type=int, dest="z_size", default=128)
     parser.add_argument("--seed", type=int, default=62)
+    parser.add_argument("--preview-every", type=int, default=1,
+                        help="render the live preview every N epochs")
     parser.add_argument("--profile", action="store_true", default=False,
                         help="capture a jax.profiler trace of the first "
                         "post-compile epoch into <dir>/traces")
@@ -104,6 +106,7 @@ def main(argv=None) -> None:
         seed=args.seed,
         mesh=mesh,
         profile=args.profile,
+        preview_frequency=args.preview_every,
     )
     # Reference quirk preserved: Trainer.py:37 trains epochs+1.
     engine.train(args.epochs + 1, args.ckptFreq)

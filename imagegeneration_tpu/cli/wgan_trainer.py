@@ -44,6 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--height", type=int, default=144)
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument("--seed", type=int, default=62)
+    parser.add_argument("--profile", action="store_true", default=False)
     return parser
 
 
@@ -69,6 +70,7 @@ def main(argv=None) -> None:
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         seed=args.seed,
         mesh=mesh,
+        profile=args.profile,
     )
     engine.train(args.epochs)
 

@@ -98,11 +98,13 @@ class FIDEvaluator:
         dropout: float = 0.5,
         seed: int = rnglib.DEFAULT_MODEL_SEED,
         sqrtm_method: str = "lowrank",
+        spectral_norm: bool = False,  # must match the trained discriminator
     ) -> None:
         self.dir_path = dir_path
         self.output_dir = output_dir
         self.cfg = SNDCGANConfig(
-            image_size=image_size, z_size=z_size, dropout_rate=dropout
+            image_size=image_size, z_size=z_size, dropout_rate=dropout,
+            spectral_norm=spectral_norm,
         )
         self.gen = Generator(self.cfg)
         self.disc = Discriminator(self.cfg)

@@ -60,7 +60,9 @@ class CycleGANEngine:
         seed: int = rnglib.DEFAULT_MODEL_SEED,
         mesh=None,
         resident: bool | None = None,
+        profile: bool = False,
     ) -> None:
+        self.profile = profile
         os.makedirs(path_like, exist_ok=True)
         os.makedirs(path.join(path_like, "models", "generator_f"), exist_ok=True)
         os.makedirs(path.join(path_like, "models", "generator_g"), exist_ok=True)
@@ -145,9 +147,11 @@ class CycleGANEngine:
     def train(self, epochs: int, checkpoint_frequency: int = 5) -> None:
         start_time = time()
         watch = metricslib.Stopwatch()
+        profiler = metricslib.ProfilerHook(self.path, self.profile)
         last_batch_x = None
         for i in range(epochs):
             watch.epoch_start()
+            profiler.maybe_start(i, 1)
             epoch_label = i + self.epoch
             print("####### Epoch", epoch_label, "#######")
 
@@ -195,6 +199,7 @@ class CycleGANEngine:
             for k in LOSS_KEYS:
                 self.losses.append(**{k: agg[k]})
 
+            profiler.maybe_stop()
             perf = watch.epoch_report(n_steps, n_steps * self.batch_size)
             metricslib.write_metrics_jsonl(
                 path.join(self.path, "perf.jsonl"),

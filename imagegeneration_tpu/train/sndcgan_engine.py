@@ -68,8 +68,10 @@ class SNDCGANEngine:
         mesh=None,
         resident: bool | None = None,
         profile: bool = False,
+        preview_frequency: int = 1,
     ) -> None:
         self.profile = profile
+        self.preview_frequency = max(1, preview_frequency)
         if not continue_ and os.path.exists(dir_path):
             shutil.rmtree(dir_path)
         os.makedirs(dir_path, exist_ok=True)
@@ -260,12 +262,16 @@ class SNDCGANEngine:
             )
             print("\r" + info_text)
 
-            n_preview = 3
-            fixed_z = rnglib.uniform_z(
-                self.chain.at_step("preview", epoch), n_preview, self.z_size
-            )
-            samples = self.sample(fixed_z)
-            previewlib.live_preview(samples, info_text, self.live_preview_file)
+            # Per-epoch preview like the reference (SNDCGAN.py:311-314); on
+            # slow hosts matplotlib rendering can exceed the epoch's TPU time,
+            # so the cadence is configurable (preview_frequency=1 == faithful).
+            if epoch % self.preview_frequency == 0:
+                n_preview = 3
+                fixed_z = rnglib.uniform_z(
+                    self.chain.at_step("preview", epoch), n_preview, self.z_size
+                )
+                samples = self.sample(fixed_z)
+                previewlib.live_preview(samples, info_text, self.live_preview_file)
 
             if epoch % checkpoint_frequency == 0:
                 self.losses.extend(local)

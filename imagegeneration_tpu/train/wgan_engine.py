@@ -58,7 +58,9 @@ class WGANEngine:
         seed: int = rnglib.DEFAULT_MODEL_SEED,
         mesh=None,
         resident: bool | None = None,
+        profile: bool = False,
     ) -> None:
+        self.profile = profile
         self.save_interval = save_interval
         self.path = path_like
         if not load:
@@ -199,10 +201,13 @@ class WGANEngine:
         self._c1_tmp, self._c2_tmp = [], []
         start_time = time()
         watch = metricslib.Stopwatch()
+        profiler = metricslib.ProfilerHook(self.path, self.profile)
+        first_real_epoch = self.epoch + 2
         remaining = epochs - self.epoch
         for _ in range(remaining):
             self.epoch += 1
             watch.epoch_start()
+            profiler.maybe_start(self.epoch, first_real_epoch)
             print(
                 f"####### Epoch {self.epoch} "
                 f"Time: {strftime('%H:%M:%S', gmtime(time() - start_time))} #######"
@@ -242,6 +247,7 @@ class WGANEngine:
                     [m["g_loss"] for m in got],
                     [m["did_gan_update"] for m in got],
                 )
+            profiler.maybe_stop()
             perf = watch.epoch_report(n_steps, n_steps * self.batch_size)
             metricslib.write_metrics_jsonl(
                 path.join(self.path, "perf.jsonl"), {"epoch": self.epoch, **perf}
