@@ -32,7 +32,8 @@ def plot_pd(epochs, pds, output_dir: str) -> None:
 
     plt.clf()
     _, ax = plt.subplots(nrows=1, ncols=1, figsize=(max(3 * len(epochs), 6), 12))
-    ax.boxplot(pds, vert=True, showmeans=True, meanline=True, labels=epochs)
+    ax.boxplot(pds, vert=True, showmeans=True, meanline=True,
+               tick_labels=[str(e) for e in epochs])
     ax.yaxis.grid(True)
     ax.set_yscale("log")
     ax.set_xlabel("Epoch", fontsize=14)

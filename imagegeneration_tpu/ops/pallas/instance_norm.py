@@ -42,12 +42,17 @@ def _pick_c_block(h: int, w: int, c: int) -> int | None:
 
     The (1, H, W, CB) input block's last two dims must be (div-8, div-128) or
     equal to the full array dims: W is always full here, so CB must be a
-    multiple of 128 or equal to C itself. Returns None when nothing fits VMEM
-    (caller falls back to XLA — e.g. CycleGAN's 128x128 stem layers; the 18
-    res-block INs at 32x32 all hit the kernel)."""
+    multiple of 128 or equal to C itself. The VMEM fit check uses the
+    *hardware-padded* block — Mosaic tiles pad the lane dim up to 128 (a C=3
+    block really occupies 128 lanes), which is also why small-C layers fall
+    back to XLA rather than burn a 42x-padded kernel. Returns None when
+    nothing fits (e.g. CycleGAN's 128px stem/to_rgb layers; the 18 res-block
+    INs at 32x32 and the 64x64 down/up layers all hit the kernel)."""
     candidates = [c] + [cb for cb in (512, 384, 256, 128) if cb < c and c % cb == 0]
     for cb in sorted(set(candidates), reverse=True):
-        if h * w * cb * 4 <= _VMEM_TARGET_BYTES:
+        padded_cb = -(-cb // 128) * 128  # lane padding
+        padded_w = -(-w // 8) * 8  # sublane padding
+        if h * padded_w * padded_cb * 4 <= _VMEM_TARGET_BYTES:
             return cb
     return None
 

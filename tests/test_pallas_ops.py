@@ -24,8 +24,12 @@ def test_pick_c_block():
     # 128x128x256: no Mosaic-legal block fits VMEM -> XLA fallback
     assert _pick_c_block(128, 128, 256) is None
     assert _pick_c_block(8, 8, 128) == 128
-    assert _pick_c_block(8, 8, 100) == 100  # full-C block is always legal
     assert _pick_c_block(32, 32, 256) == 256  # res-block interior: full C fits
+    assert _pick_c_block(64, 64, 128) == 128  # down/up conv layers
+    # lane padding: a C=3 block really occupies 128 lanes -> 8MB at 128px,
+    # must fall back (this OOM'd the CycleGAN to_rgb_in on real hardware)
+    assert _pick_c_block(128, 128, 3) is None
+    assert _pick_c_block(8, 8, 100) == 100  # padded to 128 lanes but tiny HW
 
 
 def test_pallas_interpret_matches_xla_forward():
