@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="Image directory (reference hardcodes 'bilderNeuro').",
     )
     parser.add_argument("--n-critic", type=int, default=5)
+    parser.add_argument("--gp", type=float, dest="gp_lambda", default=0.0,
+                        help="WGAN-GP gradient penalty weight (replaces weight clipping when > 0; reference default 0 = clipping)")
     parser.add_argument("--bf16", action="store_true", default=False)
     parser.add_argument("--mesh-data", type=int, default=0)
     parser.add_argument("--height", type=int, default=144)
@@ -67,6 +69,7 @@ def main(argv=None) -> None:
         path_like=args.path,
         load=args.continue_,
         save_interval=args.chps,
+        gp_lambda=args.gp_lambda,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         seed=args.seed,
         mesh=mesh,

@@ -53,6 +53,7 @@ class WGANEngine:
         save_interval: int = 20,
         *,
         learning_rate: float = 5e-5,
+        gp_lambda: float = 0.0,
         base_width: int = 512,
         dtype=jnp.float32,
         seed: int = rnglib.DEFAULT_MODEL_SEED,
@@ -85,6 +86,7 @@ class WGANEngine:
             batch_size=batch_size,
             n_critic=critic_learn_iterations,
             learning_rate=learning_rate,
+            gp_lambda=gp_lambda,
             seed=seed,
         )
         self.chain = rnglib.KeyChain(seed)

@@ -59,6 +59,12 @@ class WGANTrainConfig:
     batch_size: int = 32
     n_critic: int = 5  # wasserstein_gan/Trainer.py:49
     learning_rate: float = 5e-5  # WGAN.py:99,150
+    # Optional gradient penalty (WGAN-GP, arXiv:1704.00028) replacing the
+    # reference's +-0.01 weight clipping (which stays the faithful default).
+    # When > 0: the real-batch critic update adds gp_lambda * E[(||grad_x
+    # D(x_hat)|| - 1)^2] on interpolates and kernels are NOT clipped. The
+    # double-backward fuses into the same jitted step.
+    gp_lambda: float = 0.0
     seed: int = rnglib.DEFAULT_MODEL_SEED
 
 
@@ -97,38 +103,58 @@ def make_train_step(cfg: WGANTrainConfig, mesh=None):
     replicate = common.make_replicator(mesh)
     chain = rnglib.KeyChain(cfg.seed)
     z_stream = chain.stream("z")
+    use_gp = cfg.gp_lambda > 0.0
 
-    def critic_update(c_params, c_bs, c_opt, x, label):
-        """One critic RMSprop step on (x, label) + kernel clip."""
+    def gradient_penalty(c_params, c_bs, x_real, x_fake, key):
+        """WGAN-GP penalty on interpolates (eval-mode critic, as standard)."""
+        eps = jax.random.uniform(key, (x_real.shape[0], 1, 1, 1))
+        x_hat = eps * x_real + (1.0 - eps) * jax.lax.stop_gradient(x_fake)
+
+        def score_sum(xh):
+            s = critic.apply(
+                {"params": c_params, "batch_stats": c_bs}, xh, train=False
+            )
+            return jnp.sum(s)
+
+        g = jax.grad(score_sum)(x_hat).astype(jnp.float32)
+        norms = jnp.sqrt(jnp.sum(g * g, axis=(1, 2, 3)) + 1e-12)
+        return jnp.mean((norms - 1.0) ** 2)
+
+    def critic_update(c_params, c_bs, c_opt, x, label, gp_args=None):
+        """One critic RMSprop step on (x, label); kernel clip (reference)
+        or gradient penalty (gp_lambda > 0)."""
 
         def loss_fn(params):
             scores, mut = critic.apply(
                 {"params": params, "batch_stats": c_bs},
                 x, train=True, mutable=["batch_stats"],
             )
-            return common.wasserstein_loss(
-                jnp.full_like(scores, label), scores
-            ), mut["batch_stats"]
+            loss = common.wasserstein_loss(jnp.full_like(scores, label), scores)
+            if gp_args is not None:
+                x_fake, key = gp_args
+                loss = loss + cfg.gp_lambda * gradient_penalty(
+                    params, c_bs, x, x_fake, key
+                )
+            return loss, mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(c_params)
         updates, new_opt = c_tx.update(grads, c_opt, c_params)
         new_params = optax.apply_updates(c_params, updates)
-        new_params = replicate(modellib.clip_critic_kernels(new_params))
+        if not use_gp:
+            new_params = modellib.clip_critic_kernels(new_params)
+        new_params = replicate(new_params)
         return new_params, new_bs, new_opt, loss
 
     def train_step(state: WGANState, batch_u8: jax.Array):
         x_real = normalize_on_device(batch_u8, cfg.model.dtype)
-        k_fake, k_gan = jax.random.split(
-            jax.random.fold_in(z_stream, state.step)
+        k_fake, k_gan, k_gp = jax.random.split(
+            jax.random.fold_in(z_stream, state.step), 3
         )
         bsz = batch_u8.shape[0]
 
-        # 1. critic on real, labels -1 (WGAN.py:298)
-        c_params, c_bs, c_opt, c_loss1 = critic_update(
-            state.c_params, state.c_batch_stats, state.c_opt, x_real, -1.0
-        )
-
-        # 2. fake batch from G in inference mode (predict quirk, WGAN.py:224)
+        # fake batch from G in inference mode (predict quirk, WGAN.py:224);
+        # depends only on pre-step G state, so computing it up front is
+        # order-equivalent to the reference's sequence
         z_fake = rnglib.normal_z(k_fake, bsz, cfg.model.z_size)
         x_fake = gen.apply(
             {"params": state.g_params, "batch_stats": state.g_batch_stats},
@@ -136,7 +162,13 @@ def make_train_step(cfg: WGANTrainConfig, mesh=None):
         )
         x_fake = jax.lax.stop_gradient(x_fake)
 
-        # 3. critic on fake, labels +1 (WGAN.py:303)
+        # 1. critic on real, labels -1 (WGAN.py:298); +GP when enabled
+        c_params, c_bs, c_opt, c_loss1 = critic_update(
+            state.c_params, state.c_batch_stats, state.c_opt, x_real, -1.0,
+            gp_args=(x_fake, k_gp) if use_gp else None,
+        )
+
+        # 2. critic on fake, labels +1 (WGAN.py:303)
         c_params, c_bs, c_opt, c_loss2 = critic_update(
             c_params, c_bs, c_opt, x_fake, +1.0
         )

@@ -150,6 +150,24 @@ def test_epoch_runner_matches_streaming():
     assert int(s_scan.critic_count) == int(s_stream.critic_count) == 0
 
 
+def test_gradient_penalty_mode():
+    """gp_lambda > 0: kernels NOT clipped, penalty active, step finite."""
+    cfg = WGANTrainConfig(
+        model=WGANConfig(image_size=TINY, base_width=16),
+        batch_size=2, n_critic=1, gp_lambda=10.0, learning_rate=1e-3,
+    )
+    state = init_state(cfg)
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    batch = np.random.default_rng(3).integers(0, 256, (2, *TINY), dtype=np.uint8)
+    for _ in range(4):
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["c_loss_real"]))
+    assert np.isfinite(float(m["g_loss"]))
+    # with clipping disabled, RMSprop at lr 1e-3 pushes kernels past +-0.01
+    k = np.asarray(state.c_params["conv0"]["Conv_0"]["kernel"])
+    assert np.max(np.abs(k)) > 0.011
+
+
 def test_sampler_range():
     cfg = WGANTrainConfig(model=WGANConfig(image_size=TINY), batch_size=2)
     state = init_state(cfg)
