@@ -141,6 +141,32 @@ def test_vjp_pulls_match_per_loss_grads():
         np.testing.assert_allclose(ref_leaf, got_leaf, rtol=1e-5, atol=1e-7)
 
 
+def test_epoch_runner_matches_streaming():
+    from imagegeneration_tpu.train.cyclegan_step import make_epoch_runner
+
+    cfg = CycleGANTrainConfig(model=TINY_CFG, batch_size=1)
+    rngn = np.random.default_rng(9)
+    imgs_x = rngn.integers(0, 256, (2, 96, 96, 3), dtype=np.uint8)
+    imgs_y = rngn.integers(0, 256, (2, 96, 96, 3), dtype=np.uint8)
+    perm = np.arange(2).reshape(2, 1)
+
+    step = jax.jit(make_train_step(cfg))
+    s_stream = init_state(cfg)
+    for b in range(2):
+        s_stream, _ = step(s_stream, imgs_x[perm[b]], imgs_y[perm[b]])
+
+    runner = jax.jit(make_epoch_runner(cfg))
+    s_scan, metrics = runner(
+        init_state(cfg), jnp.asarray(imgs_x), jnp.asarray(imgs_y),
+        jnp.asarray(perm), jnp.asarray(perm),
+    )
+    assert metrics["total_cycle_loss"].shape == (2,)
+    ka = np.asarray(jax.tree.leaves(s_stream.gg_params)[0])
+    kb = np.asarray(jax.tree.leaves(s_scan.gg_params)[0])
+    assert np.mean(np.abs(ka - kb)) < 1e-5  # Adam near-zero-grad tolerance
+    assert int(s_scan.step) == int(s_stream.step) == 2
+
+
 def test_train_step_moves_all_four_trees():
     cfg = CycleGANTrainConfig(model=TINY_CFG, batch_size=2)
     state = init_state(cfg)
