@@ -22,12 +22,16 @@ Reads .h5 via h5py directly (no TF dependency at import time); handles both
 the Keras 2 ("<layer>/<layer>/kernel:0") and Keras 3
 ("<layer>/<model>/<layer>/kernel") layouts.
 
-Known limitation (round 1): the CycleGAN generators were exported with
-`save_weights` on a nested-Sequential + tensorflow_addons model
-(cyclegan/CycleGAN.py:414-420); that file layout differs per Keras major
-version and tfa is unavailable here to validate a mapping, so CycleGAN
-weight import is not yet provided — CycleGAN training resumes from its own
-checkpoints instead (the reference's primary mechanism too, :250-269).
+CycleGAN generators were exported with `save_weights` (weights-only h5,
+cyclegan/CycleGAN.py:414-420) on a nested-Sequential + custom-ResBlock
+model; `import_cyclegan_generator` walks the Keras-2 layer_names/
+weight_names ordering and maps positionally onto models/cyclegan.Generator.
+Output parity is tested against a tf_keras replica of the reference
+structure with GroupNormalization(groups=-1) (== per-channel InstanceNorm,
+this framework's corrected default). Real tfa InstanceNormalization(axis=1)
+artifacts carry per-H-position gamma/beta — detected by shape and reshaped
+for `quirk_axis1=True` models (tfa itself is not installable here to test
+that flavor end-to-end).
 """
 
 from __future__ import annotations
@@ -219,11 +223,98 @@ def import_wgan_critic(h5_path: str | Path) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _read_save_weights_h5(path: str | Path) -> list[tuple[str, np.ndarray]]:
+    """Ordered (weight_path, array) stream from a Keras-2 save_weights h5:
+    layer order from the root `layer_names` attr, intra-layer order from each
+    layer group's `weight_names` attr."""
+    import h5py
+
+    def _s(x):
+        return x.decode() if isinstance(x, bytes) else str(x)
+
+    out: list[tuple[str, np.ndarray]] = []
+    with h5py.File(path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+        if "layer_names" not in root.attrs:
+            raise ValueError(
+                f"{path} is not a Keras-2 save_weights h5 (no layer_names "
+                f"attr); Keras-3 .weights.h5 files are not supported"
+            )
+        for lname in [_s(x) for x in root.attrs["layer_names"]]:
+            g = root[lname]
+            for wname in [_s(x) for x in g.attrs.get("weight_names", [])]:
+                out.append((f"{lname}/{wname}", np.asarray(g[wname])))
+    return out
+
+
+def _in_params(gamma: np.ndarray, beta: np.ndarray, channels: int):
+    """Map IN gamma/beta onto this framework's InstanceNorm param shapes:
+    (C,) for the corrected per-channel norm; per-H tfa axis=1 artifacts get
+    (H, 1, 1) for quirk_axis1=True models."""
+    if gamma.size == channels and gamma.ndim == 1:
+        return {"scale": gamma, "bias": beta}
+    return {
+        "scale": gamma.reshape(-1, 1, 1),
+        "bias": beta.reshape(-1, 1, 1),
+    }
+
+
+def import_cyclegan_generator(h5_path: str | Path) -> dict:
+    """Reference CycleGAN generator save_weights .h5 -> {"params"} for
+    models/cyclegan.Generator.
+
+    Weighted-layer order (cyclegan/CycleGAN.py:161-183): conv_c7_s1(64),
+    d_conv(128), d_conv(256), N x ResBlock(256), u_conv(128), u_conv(64),
+    conv_c7_s1(3) — each block contributing (conv kernel, conv bias, IN
+    gamma, IN beta) and each ResBlock contributing conv1, in1, conv2, in2
+    (the reference ResBlock's attribute order, :62-70)."""
+    stream = _read_save_weights_h5(h5_path)
+    vals = [a for _, a in stream]
+    if len(vals) % 4 != 0 or len(vals) < 6 * 4:
+        raise ValueError(
+            f"unexpected weight count {len(vals)} for a CycleGAN generator"
+        )
+    n_res = (len(vals) - 6 * 4) // 8
+    it = iter(vals)
+
+    def conv_block():
+        k, b = next(it), next(it)
+        g, beta = next(it), next(it)
+        return k, b, g, beta
+
+    params: dict = {}
+
+    def take(name_conv, name_in, transpose=False, conv_key="Conv_0"):
+        k, b, g, beta = conv_block()
+        if transpose:
+            k = convt_kernel_to_flax(k)
+        params[name_conv] = {conv_key: {"kernel": k, "bias": b}}
+        params[name_in] = _in_params(g, beta, k.shape[-1])
+
+    take("stem_conv", "stem_in")
+    take("down0", "down0_in")
+    take("down1", "down1_in")
+    for i in range(n_res):
+        k1, b1, g1, be1 = conv_block()
+        k2, b2, g2, be2 = conv_block()
+        params[f"res{i}"] = {
+            "conv1": {"Conv_0": {"kernel": k1, "bias": b1}},
+            "in1": _in_params(g1, be1, k1.shape[-1]),
+            "conv2": {"Conv_0": {"kernel": k2, "bias": b2}},
+            "in2": _in_params(g2, be2, k2.shape[-1]),
+        }
+    take("up0", "up0_in", transpose=True, conv_key="ConvTranspose_0")
+    take("up1", "up1_in", transpose=True, conv_key="ConvTranspose_0")
+    take("to_rgb", "to_rgb_in")
+    return {"params": params}
+
+
 IMPORTERS = {
     "sndcgan-gen": import_sndcgan_generator,
     "sndcgan-disc": import_sndcgan_discriminator,
     "wgan-gen": import_wgan_generator,
     "wgan-critic": import_wgan_critic,
+    "cyclegan-gen": import_cyclegan_generator,
 }
 
 

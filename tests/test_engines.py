@@ -76,6 +76,32 @@ def test_wgan_engine_train_and_history(tmp_path, tiny_ds):
     eng.ckpt_manager.close()
 
 
+def test_sndcgan_engine_data_parallel(tmp_path, tiny_ds):
+    """Engine-level DP integration on the 8-virtual-device mesh (streaming
+    path: shard_batch + sharded step + replicated state through artifacts)."""
+    import jax
+    import pytest as _pytest
+
+    if jax.device_count() < 4:
+        _pytest.skip("needs virtual devices")
+    from imagegeneration_tpu.core.mesh import MeshConfig, make_mesh
+    from imagegeneration_tpu.train.sndcgan_engine import SNDCGANEngine
+
+    mesh = make_mesh(MeshConfig(data=4, spatial=1))
+    out = tmp_path / "dp"
+    eng = SNDCGANEngine(
+        str(out), tiny_ds, batch_size=4, dropout=0.0,
+        live_output=str(tmp_path / "live_dp"), image_size=(16, 16, 3),
+        z_size=8, base_width=16, mesh=mesh,
+    )
+    assert not eng.resident  # mesh forces the streaming path
+    eng.train(1, checkpoint_frequency=1)
+    assert (out / "losses.pickle").exists()
+    kernel = eng.state.g_params["stem"]["Dense_0"]["kernel"]
+    assert kernel.sharding.is_fully_replicated
+    eng.ckpt_manager.close()
+
+
 def test_cyclegan_engine_train_and_autoresume(tmp_path):
     from imagegeneration_tpu.train.cyclegan_engine import CycleGANEngine
 

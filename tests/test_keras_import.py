@@ -166,6 +166,87 @@ def test_wgan_generator_import_matches_keras_output(tmp_path):
     np.testing.assert_allclose(y_jax, y_tf, atol=2e-4)
 
 
+def test_cyclegan_generator_import_matches_keras_output(tmp_path):
+    """Build the reference CycleGAN generator structure in tf_keras (Keras 2,
+    the reference's save_weights format) with GroupNormalization(groups=-1)
+    standing in for per-channel InstanceNorm, save_weights, import, compare."""
+    keras2 = pytest.importorskip("tf_keras")
+
+    def conv_c7_s1(filters, use_tanh=False):
+        return keras2.Sequential([
+            keras2.layers.Conv2D(filters, (7, 7), strides=(1, 1), padding="same"),
+            keras2.layers.GroupNormalization(groups=-1, epsilon=1e-3),
+            keras2.layers.Activation("tanh") if use_tanh else keras2.layers.ReLU(),
+        ])
+
+    def d_conv(filters):
+        return keras2.Sequential([
+            keras2.layers.Lambda(
+                lambda x: tf.pad(x, [[0, 0], [1, 1], [1, 1], [0, 0]], "REFLECT")
+            ),
+            keras2.layers.Conv2D(filters, (3, 3), strides=(2, 2)),
+            keras2.layers.GroupNormalization(groups=-1, epsilon=1e-3),
+            keras2.layers.ReLU(),
+        ])
+
+    def u_conv(filters):
+        return keras2.Sequential([
+            keras2.layers.Conv2DTranspose(filters, (3, 3), strides=(2, 2),
+                                          padding="same"),
+            keras2.layers.GroupNormalization(groups=-1, epsilon=1e-3),
+            keras2.layers.ReLU(),
+        ])
+
+    class ResBlock(keras2.layers.Layer):
+        """The reference ResBlock op order (cyclegan/CycleGAN.py:60-92)."""
+
+        def __init__(self, filters):
+            super().__init__()
+            self.conv1 = keras2.layers.Conv2D(filters, (3, 3), padding="same")
+            self.instance1 = keras2.layers.GroupNormalization(
+                groups=-1, epsilon=1e-3
+            )
+            self.relu = keras2.layers.ReLU()
+            self.conv2 = keras2.layers.Conv2D(filters, (3, 3), padding="same")
+            self.instance2 = keras2.layers.GroupNormalization(
+                groups=-1, epsilon=1e-3
+            )
+
+        def call(self, x):
+            fx = self.conv1(x)
+            fx = self.instance1(fx)
+            fx = self.relu(fx)
+            fx = self.conv2(fx)
+            out = self.relu(x + fx)
+            return self.instance2(out)
+
+    base, n_res = 8, 2
+    km = keras2.Sequential([
+        keras2.layers.InputLayer((96, 96, 3)),
+        conv_c7_s1(base),
+        d_conv(base * 2), d_conv(base * 4),
+        *[ResBlock(base * 4) for _ in range(n_res)],
+        u_conv(base * 2), u_conv(base),
+        conv_c7_s1(3, use_tanh=True),
+    ])
+    x = np.random.default_rng(6).uniform(-1, 1, (2, 96, 96, 3)).astype(np.float32)
+    y_tf = km(x, training=False).numpy()
+    h5 = tmp_path / "gen_weights_g-0.h5"
+    km.save_weights(h5, save_format="h5")
+
+    from imagegeneration_tpu.compat.keras_import import import_cyclegan_generator
+    from imagegeneration_tpu.models.cyclegan import (
+        CycleGANConfig, Generator as CycGen,
+    )
+
+    variables = import_cyclegan_generator(h5)
+    gen = CycGen(CycleGANConfig(image_size=(96, 96, 3), base_width=base,
+                                n_res_blocks=n_res, in_backend="xla"))
+    y_jax = np.asarray(gen.apply(variables, jnp.asarray(x)))
+    assert y_jax.shape == y_tf.shape
+    np.testing.assert_allclose(y_jax, y_tf, atol=5e-4)
+
+
 def test_discriminator_import_matches_keras_logits(tmp_path):
     km = _keras_discriminator()
     h5 = tmp_path / "disc_model-0.h5"
