@@ -82,15 +82,15 @@ def test_sndcgan_engine_data_parallel(tmp_path, tiny_ds):
     import jax
     import pytest as _pytest
 
-    if jax.device_count() < 4:
-        _pytest.skip("needs virtual devices")
+    if jax.device_count() < 8:
+        _pytest.skip("needs 8 virtual devices")
     from imagegeneration_tpu.core.mesh import MeshConfig, make_mesh
     from imagegeneration_tpu.train.sndcgan_engine import SNDCGANEngine
 
-    mesh = make_mesh(MeshConfig(data=4, spatial=1))
+    mesh = make_mesh(MeshConfig(data=-1, spatial=1))  # all 8 devices
     out = tmp_path / "dp"
     eng = SNDCGANEngine(
-        str(out), tiny_ds, batch_size=4, dropout=0.0,
+        str(out), tiny_ds, batch_size=8, dropout=0.0,
         live_output=str(tmp_path / "live_dp"), image_size=(16, 16, 3),
         z_size=8, base_width=16, mesh=mesh,
     )
