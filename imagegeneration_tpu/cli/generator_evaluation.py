@@ -102,6 +102,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from imagegeneration_tpu.core.platform import honor_env_platform
+    honor_env_platform()
     evaluate_fid(
         args.dirPath,
         args.data,

@@ -167,6 +167,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from imagegeneration_tpu.core.platform import honor_env_platform
+    honor_env_platform()
     fn = output_results_ckpts if args.from_checkpoints else output_results_models
     fn(
         args.bSize,

@@ -80,6 +80,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from imagegeneration_tpu.core.platform import honor_env_platform
+    honor_env_platform()
 
     from imagegeneration_tpu.core.mesh import MeshConfig, make_mesh, maybe_init_distributed
     from imagegeneration_tpu.train.sndcgan_engine import SNDCGANEngine
