@@ -54,6 +54,11 @@ class SNDCGANTrainConfig:
     lr_gen: float = 2e-4  # sndcgan/Trainer.py:26-27
     lr_disc: float = 2e-4
     loss: str = "bce"  # "bce" (reference) | "hinge" (SN-GAN, config 2)
+    # PRNG impl for the dropout stream: "rbg" (default) uses the on-chip
+    # hardware RNG — threefry mask generation for the 21 dropout sites per
+    # step was measured at 56% of the whole train step (94 -> 55 ms/step at
+    # 256x144 bs32). "threefry" restores the default-jax stream.
+    dropout_impl: str = "rbg"
     seed: int = rnglib.DEFAULT_MODEL_SEED
 
 
@@ -126,7 +131,9 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
     replicate = common.make_replicator(mesh)
     chain = rnglib.KeyChain(cfg.seed)
     z_stream = chain.stream("z")
-    drop_stream = chain.stream("dropout")
+    drop_stream = chain.stream(
+        "dropout", impl=None if cfg.dropout_impl == "threefry" else cfg.dropout_impl
+    )
     use_hinge = cfg.loss == "hinge"
     if cfg.loss not in ("bce", "hinge"):
         raise ValueError(f"unknown loss {cfg.loss!r}")

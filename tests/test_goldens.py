@@ -28,6 +28,7 @@ def test_sndcgan_step1_goldens():
         model=SNDCGANConfig(image_size=(16, 16, 3), base_width=16,
                             dropout_rate=0.25),
         batch_size=2, seed=62,
+        dropout_impl="threefry",  # goldens were recorded on this stream
     )
     _, m = jax.jit(make_train_step(cfg))(init_state(cfg), _batch((2, 16, 16, 3), 2024))
     golden = {
