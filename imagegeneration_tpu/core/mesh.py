@@ -31,15 +31,34 @@ SPATIAL_AXIS = "spatial"
 def maybe_init_distributed() -> None:
     """Initialize jax.distributed for multi-host pods when env is present.
 
-    Single-process (the common case, incl. tests) is a no-op. On Cloud TPU
-    pods the coordinator address comes from the standard env/metadata and
-    `jax.distributed.initialize()` auto-detects it.
+    Single-process (the common case, incl. tests) is a no-op.
+
+    Ordering matters: `jax.distributed.initialize()` must run BEFORE anything
+    touches the jax backend (`jax.devices()`, `jax.process_count()`, any
+    computation) — touching the backend first initializes it single-process
+    and the later `initialize()` is ineffective or errors. So this is purely
+    env-gated and idempotent: we only consult `jax.distributed` client state
+    (not the backend) to detect a prior call.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "MEGASCALE_COORDINATOR_ADDRESS"
-    ):
+    )
+    if not coord:
+        return  # single-process: never touch jax.distributed
+    if jax.distributed.is_initialized():
+        return  # already initialized (idempotent re-entry)
+    # Explicit process geometry (non-cloud launchers, tests) rides the same
+    # env contract; on Cloud TPU pods these are unset and initialize()
+    # auto-detects everything from the metadata service.
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if num is not None and pid is not None:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(num),
+            process_id=int(pid),
+        )
+    else:
         jax.distributed.initialize()
 
 
