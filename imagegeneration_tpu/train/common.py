@@ -14,14 +14,45 @@ KERAS_EPS = 1e-7
 
 
 def adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999) -> optax.GradientTransformation:
-    """Adam with Keras defaults (eps=1e-7). sndcgan/SNDCGAN.py:165,168;
-    cyclegan/CycleGAN.py:229-233 uses b1=0.5."""
-    return optax.adam(learning_rate, b1=b1, b2=b2, eps=KERAS_EPS)
+    """Adam matching tf.keras EXACTLY (sndcgan/SNDCGAN.py:165,168;
+    cyclegan/CycleGAN.py:229-233 uses b1=0.5).
+
+    Keras applies the update  lr * sqrt(1-b2^t)/(1-b1^t) * m / (sqrt(v) + eps)
+    — epsilon OUTSIDE the sqrt and NOT scaled by the bias correction — whereas
+    optax.adam computes m_hat/(sqrt(v_hat)+eps), an effectively
+    sqrt(1-b2^t)-times-smaller epsilon early in training. The difference is
+    real: with eps=1e-7 it shifts small-|grad| coordinates enough to move
+    3-step losses by ~1% (caught by tests/test_reference_parity.py, which
+    pins our trajectory against the reference's own executed train_step)."""
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32), mu=zeros,
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        count = optax.safe_increment(state.count)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g), state.nu, grads
+        )
+        t = count.astype(jnp.float32)
+        alpha = learning_rate * jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+        updates = jax.tree.map(
+            lambda m, v: -alpha * m / (jnp.sqrt(v) + KERAS_EPS), mu, nu
+        )
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def rmsprop(learning_rate: float) -> optax.GradientTransformation:
     """RMSprop with Keras defaults (rho=0.9, eps=1e-7, no momentum).
-    wasserstein_gan/WGAN.py:99,150."""
+    wasserstein_gan/WGAN.py:99,150. optax's eps_in_sqrt=True default matches
+    tf.keras exactly (g / sqrt(v + eps); verified numerically vs TF 2.21)."""
     return optax.rmsprop(learning_rate, decay=0.9, eps=KERAS_EPS)
 
 

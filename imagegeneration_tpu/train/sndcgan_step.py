@@ -138,13 +138,17 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
     if cfg.loss not in ("bce", "hinge"):
         raise ValueError(f"unknown loss {cfg.loss!r}")
 
-    def train_step(state: SNDCGANState, batch_u8: jax.Array):
+    def train_step(state: SNDCGANState, batch_u8: jax.Array, z: jax.Array | None = None):
+        """`z=None` (training) draws the latent from the step-folded stream;
+        an explicit `z` (cross-framework parity tests vs the reference's
+        train_step, which receives input_z — SNDCGAN.py:241) bypasses it."""
         x_real = normalize_on_device(batch_u8, cfg.model.dtype)
-        z_key = jax.random.fold_in(z_stream, state.step)
         dk_g, dk_real, dk_fake = jax.random.split(
             jax.random.fold_in(drop_stream, state.step), 3
         )
-        z = rnglib.uniform_z(z_key, batch_u8.shape[0], cfg.model.z_size)
+        if z is None:
+            z_key = jax.random.fold_in(z_stream, state.step)
+            z = rnglib.uniform_z(z_key, batch_u8.shape[0], cfg.model.z_size)
 
         # ---- Generator update (D held fixed; reference SNDCGAN.py:242-249).
         def g_loss_fn(g_params):
