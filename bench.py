@@ -1,42 +1,66 @@
-"""Headline benchmark: SNDCGAN fused train step throughput at 256x144.
+"""Benchmarks for all three model families on the real TPU.
 
-Prints ONE JSON line:
+Prints one JSON line per family (WGAN, CycleGAN, then the headline SNDCGAN
+line LAST — the driver records the final line):
+
   {"metric": "sndcgan_train_steps_per_sec_per_chip", "value": N,
    "unit": "steps/s", "vs_baseline": R, ...extras}
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md). The
-anchor used for `vs_baseline` is a FLOP-model estimate of the reference's
-eager-TF step on its GTX 1660 Super (6 GB, ~5 TFLOP/s fp32):
-~6.6 TFLOP per batch-32 step (G fwd+bwd, D twice fwd+bwd) at <=25% eager
-utilization => ~0.19 steps/s; rounded generously UP to 0.33 steps/s so the
-reported ratio understates rather than overstates the speedup. See
-benchmarks/README.md for the arithmetic.
+Baselines:
+- `vs_baseline` compares against the reference's GPU (GTX 1660 Super,
+  README.md:15), which is unreachable from here; that anchor is a documented
+  FLOP-model extrapolation (~6.6 TFLOP per batch-32 step at <=25% eager
+  utilization on a ~5 TFLOP/s card => ~0.19 steps/s, rounded UP to 0.33 so
+  the ratio understates the speedup; benchmarks/README.md). The measured CPU
+  number sanity-checks it: 0.33 is 19x the measured 1-core eager rate.
+- `ref_tf_cpu_steps_per_sec` / `vs_ref_tf_cpu_same_host` are MEASURED: the
+  reference's eager train_step executed as-is on this host's CPU
+  (benchmarks/time_reference.py writes benchmarks/reference_timing.json).
+  Same host, same semantics, no extrapolation.
 
-Config matches BASELINE.json config 2: 256x144, spectral-norm D with fused
-power iteration, hinge loss, bfloat16 compute, batch 32 — the full fused
-train step (not just inference).
+Headline config matches BASELINE.json config 2: 256x144, spectral-norm D
+with fused power iteration, hinge loss, bfloat16 compute, batch 32 — the
+full fused train step. WGAN runs the reference's 144x256 shape
+(wasserstein_gan/Trainer.py:12,49), CycleGAN the reference's 128x128
+9-res-block config (cyclegan/Trainer.py:5) — both in their faithful f32
+configurations.
 """
 
 from __future__ import annotations
 
 import json
 import time
+from pathlib import Path
 
 import numpy as np
 
-REF_GPU_STEPS_PER_SEC = 0.33  # documented estimate, see module docstring
-BATCH = 32
+REF_GPU_STEPS_PER_SEC = 0.33  # documented extrapolation, see docstring
 WARMUP = 3
 ITERS = 20
 
 
-def main() -> None:
+def _setup_jax():
     import jax
-    import jax.numpy as jnp
 
-    # Persistent compile cache (harmless if the backend bypasses it).
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def _time_steps(jax, step, state, *batches, iters=ITERS):
+    for _ in range(WARMUP):
+        state, metrics = step(state, *batches)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, *batches)
+    jax.block_until_ready(metrics)
+    return iters / (time.perf_counter() - t0), state
+
+
+def bench_sndcgan() -> dict:
+    jax = _setup_jax()
+    import jax.numpy as jnp
 
     from imagegeneration_tpu.models.sndcgan import SNDCGANConfig
     from imagegeneration_tpu.train.sndcgan_step import (
@@ -46,60 +70,137 @@ def main() -> None:
         make_train_step,
     )
 
+    batch_size = 32
     cfg = SNDCGANTrainConfig(
         model=SNDCGANConfig(
             image_size=(144, 256, 3), spectral_norm=True, dtype=jnp.bfloat16
         ),
-        batch_size=BATCH,
+        batch_size=batch_size,
         loss="hinge",
     )
     state = init_state(cfg)
     step = jax.jit(make_train_step(cfg), donate_argnums=0)
-    batch = np.random.default_rng(0).integers(
-        0, 256, (BATCH, 144, 256, 3), dtype=np.uint8
+    batch = jax.device_put(
+        np.random.default_rng(0).integers(
+            0, 256, (batch_size, 144, 256, 3), dtype=np.uint8
+        )
     )
-    batch = jax.device_put(batch)
+    steps_per_sec, state = _time_steps(jax, step, state, batch)
 
-    for _ in range(WARMUP):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics)
-
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
-    steps_per_sec = ITERS / dt
-
-    # Secondary: sampled images/sec (generator_output path, fixed z).
+    # Secondary: sampled images/sec (generator_output path, fixed z). Long
+    # window so tunnel-dispatch jitter doesn't dominate (~4 ms/batch).
     sampler = jax.jit(make_sampler(cfg))
-    z = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (BATCH, 128)), jnp.float32)
-    imgs = sampler(state, z)
-    jax.block_until_ready(imgs)
-    # sampling is ~4ms/batch; use a long window so tunnel-dispatch jitter
-    # doesn't dominate the secondary metric
+    z = jnp.asarray(
+        np.random.default_rng(1).uniform(-1, 1, (batch_size, 128)), jnp.float32
+    )
+    jax.block_until_ready(sampler(state, z))
     sample_iters = ITERS * 5
     t0 = time.perf_counter()
     for _ in range(sample_iters):
         imgs = sampler(state, z)
     jax.block_until_ready(imgs)
-    sample_imgs_per_sec = sample_iters * BATCH / (time.perf_counter() - t0)
+    sampled_per_sec = sample_iters * batch_size / (time.perf_counter() - t0)
 
-    print(
-        json.dumps(
-            {
-                "metric": "sndcgan_train_steps_per_sec_per_chip",
-                "value": round(steps_per_sec, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / REF_GPU_STEPS_PER_SEC, 2),
-                "batch_size": BATCH,
-                "resolution": "256x144",
-                "images_per_sec": round(steps_per_sec * BATCH, 1),
-                "sampled_images_per_sec": round(sample_imgs_per_sec, 1),
-                "device": str(jax.devices()[0].device_kind),
-            }
+    out = {
+        "metric": "sndcgan_train_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / REF_GPU_STEPS_PER_SEC, 2),
+        "batch_size": batch_size,
+        "resolution": "256x144",
+        "images_per_sec": round(steps_per_sec * batch_size, 1),
+        "sampled_images_per_sec": round(sampled_per_sec, 1),
+        "device": str(jax.devices()[0].device_kind),
+    }
+    timing_file = Path(__file__).with_name("benchmarks") / "reference_timing.json"
+    if timing_file.exists():
+        t = json.loads(timing_file.read_text())
+        ref = t["reference_tf_cpu"].get("headline_256x144_bs32")
+        if ref:
+            out["ref_tf_cpu_steps_per_sec"] = ref["steps_per_sec"]
+            out["vs_ref_tf_cpu_same_host"] = round(
+                steps_per_sec / ref["steps_per_sec"], 1
+            )
+    return out
+
+
+def bench_wgan() -> dict:
+    """Reference WGAN config: 144x256 (wasserstein_gan/Trainer.py:12),
+    n_critic=5 (:49), f32, weight clipping. One fused step = 2 critic
+    updates + the 1-in-5 combined-model update behind lax.cond, so the
+    20-step window covers 4 full cadences."""
+    jax = _setup_jax()
+
+    from imagegeneration_tpu.models.wgan import WGANConfig
+    from imagegeneration_tpu.train.wgan_step import (
+        WGANTrainConfig,
+        init_state,
+        make_train_step,
+    )
+
+    batch_size = 32
+    cfg = WGANTrainConfig(
+        model=WGANConfig(image_size=(144, 256, 3)), batch_size=batch_size
+    )
+    state = init_state(cfg)
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    batch = jax.device_put(
+        np.random.default_rng(0).integers(
+            0, 256, (batch_size, 144, 256, 3), dtype=np.uint8
         )
     )
+    steps_per_sec, _ = _time_steps(jax, step, state, batch)
+    return {
+        "metric": "wgan_train_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "batch_size": batch_size,
+        "resolution": "256x144",
+        "n_critic": cfg.n_critic,
+        "images_per_sec": round(steps_per_sec * batch_size, 1),
+    }
+
+
+def bench_cyclegan() -> dict:
+    """Reference CycleGAN config: 128x128, 9 res blocks (cyclegan/Trainer.py:5,
+    CycleGAN.py:168-176), f32, fused 4-update step, Pallas InstanceNorm."""
+    jax = _setup_jax()
+
+    from imagegeneration_tpu.models.cyclegan import CycleGANConfig
+    from imagegeneration_tpu.train.cyclegan_step import (
+        CycleGANTrainConfig,
+        init_state,
+        make_train_step,
+    )
+
+    batch_size = 4
+    cfg = CycleGANTrainConfig(
+        model=CycleGANConfig(image_size=(128, 128, 3)), batch_size=batch_size
+    )
+    state = init_state(cfg)
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    rng = np.random.default_rng(0)
+    bx = jax.device_put(
+        rng.integers(0, 256, (batch_size, 128, 128, 3), dtype=np.uint8)
+    )
+    by = jax.device_put(
+        rng.integers(0, 256, (batch_size, 128, 128, 3), dtype=np.uint8)
+    )
+    steps_per_sec, _ = _time_steps(jax, step, state, bx, by)
+    return {
+        "metric": "cyclegan_train_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "batch_size": batch_size,
+        "resolution": "128x128",
+        "images_per_sec": round(steps_per_sec * batch_size, 1),
+    }
+
+
+def main() -> None:
+    print(json.dumps(bench_wgan()), flush=True)
+    print(json.dumps(bench_cyclegan()), flush=True)
+    print(json.dumps(bench_sndcgan()), flush=True)  # headline LAST
 
 
 if __name__ == "__main__":

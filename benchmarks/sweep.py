@@ -19,7 +19,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(cfg_kwargs: dict, batch_size: int, iters: int = 12) -> dict:
+def measure(
+    cfg_kwargs: dict, batch_size: int, iters: int = 12,
+    image_size=(144, 256, 3),
+) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -32,15 +35,16 @@ def measure(cfg_kwargs: dict, batch_size: int, iters: int = 12) -> dict:
 
     loss = cfg_kwargs.pop("loss", "bce")
     cfg = SNDCGANTrainConfig(
-        model=SNDCGANConfig(image_size=(144, 256, 3), **cfg_kwargs),
+        model=SNDCGANConfig(image_size=image_size, **cfg_kwargs),
         batch_size=batch_size,
         loss=loss,
     )
     state = init_state(cfg)
     step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    h, w, c = image_size
     batch = jax.device_put(
         np.random.default_rng(0).integers(
-            0, 256, (batch_size, 144, 256, 3), dtype=np.uint8
+            0, 256, (batch_size, h, w, c), dtype=np.uint8
         )
     )
     for _ in range(3):
@@ -53,6 +57,7 @@ def measure(cfg_kwargs: dict, batch_size: int, iters: int = 12) -> dict:
     dt = (time.perf_counter() - t0) / iters
     return {
         "batch": batch_size,
+        "resolution": f"{w}x{h}",
         "loss": loss,
         "sn": cfg.model.spectral_norm,
         "dtype": str(cfg.model.dtype.__name__ if hasattr(cfg.model.dtype, "__name__") else cfg.model.dtype),
@@ -67,7 +72,27 @@ def main() -> None:
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument(
+        "--config5", action="store_true",
+        help="single-chip feasibility/bench run of BASELINE config 5's "
+        "512x288 resolution (memory headroom + steps/s)",
+    )
     args = parser.parse_args()
+
+    if args.config5:
+        for bsz in (8, 16, 32):
+            print(
+                json.dumps(
+                    measure(
+                        dict(spectral_norm=True, dtype=jnp.bfloat16,
+                             loss="hinge"),
+                        bsz,
+                        image_size=(288, 512, 3),
+                    )
+                ),
+                flush=True,
+            )
+        return
 
     configs = [
         (dict(spectral_norm=True, dtype=jnp.bfloat16, loss="hinge"), 32),

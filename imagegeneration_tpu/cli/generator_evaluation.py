@@ -30,6 +30,9 @@ def evaluate_fid(
     image_size=(144, 256, 3),
     sqrtm_method: str = "lowrank",
     spectral_norm: bool = False,
+    quirk_range_mismatch: bool = False,
+    feature_source: str = "disc",
+    inception_weights: str | None = None,
 ):
     from imagegeneration_tpu.core.data import ImageFolderDataset
     from imagegeneration_tpu.evalx.fid import FIDEvaluator
@@ -41,7 +44,8 @@ def evaluate_fid(
 
     evaluator = FIDEvaluator(
         dir_path, output, image_size=image_size, sqrtm_method=sqrtm_method,
-        spectral_norm=spectral_norm,
+        spectral_norm=spectral_norm, quirk_range_mismatch=quirk_range_mismatch,
+        feature_source=feature_source, inception_weights=inception_weights,
     )
     ds = None
     if not continue_:
@@ -97,6 +101,21 @@ def build_parser() -> argparse.ArgumentParser:
         "--spectral-norm", action="store_true", default=False,
         help="the evaluated run trained with --spectral-norm",
     )
+    parser.add_argument(
+        "--inception", action="store_true", default=False,
+        help="use standard InceptionV3-pool3 features instead of the "
+        "reference's discriminator features (supply weights via "
+        "--inception-weights or IMAGEGEN_INCEPTION_WEIGHTS; without weights "
+        "a fixed random init gives a relative-only metric)",
+    )
+    parser.add_argument("--inception-weights", type=str, default=None)
+    parser.add_argument(
+        "--quirk-range-mismatch", action="store_true", default=False,
+        help="bug-compat: feed fakes in [0,1] vs reals in [-1,1], exactly "
+        "reproducing the reference's FID pipeline "
+        "(generator_evaluation.py:163-176); required when comparing FID "
+        "values against reference-produced numbers",
+    )
     return parser
 
 
@@ -116,6 +135,9 @@ def main(argv=None) -> None:
         (args.height, args.width, 3),
         args.sqrtm,
         args.spectral_norm,
+        args.quirk_range_mismatch,
+        "inception" if args.inception else "disc",
+        args.inception_weights,
     )
 
 

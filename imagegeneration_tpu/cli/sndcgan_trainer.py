@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU-native extensions ---
     parser.add_argument("--spectral-norm", action="store_true", default=False)
     parser.add_argument("--loss", choices=["bce", "hinge"], default="bce")
+    parser.add_argument("--d-updates", type=int, choices=[1, 2], default=2,
+                        help="D optimizer applies per batch: 2 = faithful to "
+                        "the reference's double apply (SNDCGAN.py:251-267), "
+                        "1 = standard single combined update (stability "
+                        "knob; pair with -ld/-lg TTUR if desired)")
     parser.add_argument("--bf16", action="store_true", default=False)
     parser.add_argument("--mesh-data", type=int, default=0,
                         help="data-parallel devices (0 = single device)")
@@ -104,6 +109,7 @@ def main(argv=None) -> None:
         args.z_size,
         spectral_norm=args.spectral_norm,
         loss=args.loss,
+        d_updates=args.d_updates,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         seed=args.seed,
         mesh=mesh,

@@ -18,7 +18,9 @@ Parity with sndcgan/generator_evaluation.py:
 Corrected quirk (documented delta): the reference feeds the discriminator
 fake images denormalized to [0,1] (create_samples) but real images in [-1,1]
 (generator_evaluation.py:163-176) — a range mismatch that biases its FID.
-Here both fake and real are evaluated in [-1,1].
+Here both fake and real are evaluated in [-1,1] by default; pass
+`quirk_range_mismatch=True` to reproduce the reference's behavior exactly
+(required for comparing FID values against reference-produced checkpoints).
 
 TPU-native: feature extraction and image synthesis run as one jitted program
 per batch; only mu/cov/sqrtm-trace run where configured.
@@ -99,6 +101,9 @@ class FIDEvaluator:
         seed: int = rnglib.DEFAULT_MODEL_SEED,
         sqrtm_method: str = "lowrank",
         spectral_norm: bool = False,  # must match the trained discriminator
+        quirk_range_mismatch: bool = False,
+        feature_source: str = "disc",  # "disc" (faithful) | "inception"
+        inception_weights: str | None = None,
     ) -> None:
         self.dir_path = dir_path
         self.output_dir = output_dir
@@ -110,6 +115,15 @@ class FIDEvaluator:
         self.disc = Discriminator(self.cfg)
         self.seed = seed
         self.sqrtm_method = sqrtm_method
+        # Reference bug-compat: evaluate fakes in [0,1] (create_samples
+        # output, generator_output.py:25-28) against reals in [-1,1]
+        # (generator_evaluation.py:163-176). Needed to reproduce FID values
+        # computed by the reference's own evaluation pipeline.
+        self.quirk_range_mismatch = quirk_range_mismatch
+        if feature_source not in ("disc", "inception"):
+            raise ValueError(f"unknown feature_source {feature_source!r}")
+        self.feature_source = feature_source
+        self.inception_weights = inception_weights
         self._jit_features = jax.jit(
             lambda v, x: self.disc.apply(
                 v, x, train=False, update_sn=False, features=True
@@ -160,6 +174,16 @@ class FIDEvaluator:
 
     # --------------------------------------------------------- evaluation
     def _load_disc_features_fn(self, disc_epoch: int):
+        if self.feature_source == "inception":
+            # Standard Inception-pool3 FID (modern comparability option);
+            # the disc_epoch is irrelevant to this extractor.
+            from imagegeneration_tpu.evalx.inception import (
+                load_inception_params,
+                make_feature_fn,
+            )
+
+            feat = make_feature_fn(load_inception_params(self.inception_weights))
+            return lambda x: np.asarray(feat(jnp.asarray(x)))
         disc_path = path.join(
             self.dir_path, "models", "discriminator",
             f"disc_model-{disc_epoch}.msgpack",
@@ -213,6 +237,8 @@ class FIDEvaluator:
             fids = []
             for z, rf in zip(init["random_z_used"], real_feats):
                 fake = gen_fn(z)
+                if self.quirk_range_mismatch:
+                    fake = (fake + 1.0) / 2.0  # create_samples' [0,1] output
                 ff = feat_fn(fake)
                 fids.append(
                     calculate_fid_from_features(ff, rf, self.sqrtm_method)

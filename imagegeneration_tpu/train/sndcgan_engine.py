@@ -29,6 +29,7 @@ from time import gmtime, strftime, time
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
 
 from imagegeneration_tpu.core import checkpoint as ckptlib
 from imagegeneration_tpu.core import data as datalib
@@ -61,6 +62,7 @@ class SNDCGANEngine:
         *,
         spectral_norm: bool = False,
         loss: str = "bce",
+        d_updates: int = 2,
         quirk_eval_bn: bool = False,
         base_width: int = 512,
         dtype=jnp.float32,
@@ -101,6 +103,7 @@ class SNDCGANEngine:
             lr_gen=learning_rate_gen,
             lr_disc=learning_rate_disc,
             loss=loss,
+            d_updates=d_updates,
             seed=seed,
         )
         self.chain = rnglib.KeyChain(seed)
@@ -110,17 +113,27 @@ class SNDCGANEngine:
         if mesh is not None:
             self._step = dp.shard_train_step(step_fn, mesh)
             self.state = dp.replicate_state(self.state, mesh)
-            resident = False
         else:
             self._step = jax.jit(step_fn, donate_argnums=0)
         if resident is None:
             resident = self.dataset.images.nbytes < 2 * 1024**3
         self.resident = resident
-        self._epoch_runner = (
-            jax.jit(steplib.make_epoch_runner(self.cfg), donate_argnums=0)
-            if resident
-            else None
-        )
+        if resident:
+            runner = steplib.make_epoch_runner(self.cfg, mesh=mesh)
+            if mesh is not None:
+                # state replicated+donated, dataset replicated in HBM, perm
+                # replicated; each scanned batch is resharded in-program.
+                repl = NamedSharding(mesh, PartitionSpec())
+                self._epoch_runner = jax.jit(
+                    runner,
+                    in_shardings=(repl, repl, repl),
+                    out_shardings=(repl, repl),
+                    donate_argnums=0,
+                )
+            else:
+                self._epoch_runner = jax.jit(runner, donate_argnums=0)
+        else:
+            self._epoch_runner = None
         self._resident_images = None
         self._sample = jax.jit(steplib.make_sampler(self.cfg))
 
@@ -208,7 +221,13 @@ class SNDCGANEngine:
 
     def _run_epoch_resident(self, epoch: int):
         if self._resident_images is None:
-            self._resident_images = jax.device_put(self.dataset.images)
+            if self.mesh is not None:
+                self._resident_images = jax.device_put(
+                    self.dataset.images,
+                    NamedSharding(self.mesh, PartitionSpec()),
+                )
+            else:
+                self._resident_images = jax.device_put(self.dataset.images)
         rng = self.chain.numpy_rng("data", epoch)
         perm = rng.permutation(len(self.dataset))
         nb = self.dataset.num_batches(self.batch_size)

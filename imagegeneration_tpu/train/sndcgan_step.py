@@ -54,6 +54,13 @@ class SNDCGANTrainConfig:
     lr_gen: float = 2e-4  # sndcgan/Trainer.py:26-27
     lr_disc: float = 2e-4
     loss: str = "bce"  # "bce" (reference) | "hinge" (SN-GAN, config 2)
+    # D optimizer applies per batch. 2 = faithful: the reference applies Adam
+    # twice (real batch, then the stale fake batch on the real-updated D —
+    # SNDCGAN.py:251-267), a cadence our real-scale validation showed
+    # mode-collapsing (docs/STATUS.md). 1 = standard DCGAN: one combined
+    # real+fake loss, one apply — the stability knob (pair with TTUR via
+    # lr_disc != lr_gen if desired).
+    d_updates: int = 2
     # PRNG impl for the dropout stream: "rbg" (default) uses the on-chip
     # hardware RNG — threefry mask generation for the 21 dropout sites per
     # step was measured at 56% of the whole train step (94 -> 55 ms/step at
@@ -137,6 +144,8 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
     use_hinge = cfg.loss == "hinge"
     if cfg.loss not in ("bce", "hinge"):
         raise ValueError(f"unknown loss {cfg.loss!r}")
+    if cfg.d_updates not in (1, 2):
+        raise ValueError(f"d_updates must be 1 or 2, got {cfg.d_updates}")
 
     def train_step(state: SNDCGANState, batch_u8: jax.Array, z: jax.Array | None = None):
         """`z=None` (training) draws the latent from the step-folded stream;
@@ -170,6 +179,50 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
         # The fake batch used below is from the PRE-update generator — the
         # reference reuses `g_output` across tapes (SNDCGAN.py:243,260).
         fake_images = jax.lax.stop_gradient(fake_images)
+
+        if cfg.d_updates == 1:
+            # Stability mode: one combined D loss, one Adam apply.
+            def d_loss_fn(d_params):
+                logits_real, new_sp = _d_apply(
+                    disc, d_params, state.d_spectral, x_real, dk_real,
+                    update_sn=True,
+                )
+                logits_fake, _ = _d_apply(
+                    disc, d_params, new_sp, fake_images, dk_fake
+                )
+                if use_hinge:
+                    loss_real = jnp.mean(
+                        jax.nn.relu(1.0 - logits_real.astype(jnp.float32))
+                    )
+                    loss_fake = jnp.mean(
+                        jax.nn.relu(1.0 + logits_fake.astype(jnp.float32))
+                    )
+                else:
+                    loss_real = common.bce_logits_mean(
+                        jnp.ones_like(logits_real), logits_real
+                    )
+                    loss_fake = common.bce_logits_mean(
+                        jnp.zeros_like(logits_fake), logits_fake
+                    )
+                return loss_real + loss_fake, (
+                    loss_real, loss_fake, logits_real, logits_fake, new_sp
+                )
+
+            (_, (d_loss_real, d_loss_fake, logits_real, logits_fake, new_sp)
+             ), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                state.d_params
+            )
+            d_updates_tree, new_d_opt = d_tx.update(
+                d_grads, state.d_opt, state.d_params
+            )
+            new_d_params = replicate(
+                optax.apply_updates(state.d_params, d_updates_tree)
+            )
+            return _finish(
+                state, new_g_params, new_g_bs, new_g_opt, new_d_params,
+                new_sp, new_d_opt, g_loss, d_loss_real, d_loss_fake,
+                logits_real, logits_fake,
+            )
 
         # ---- D update #1: real batch (SNDCGAN.py:251-257).
         def d_real_loss_fn(d_params):
@@ -210,6 +263,15 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
         d_updates2, new_d_opt = d_tx.update(d_grads2, d_opt_mid, d_params_mid)
         new_d_params = replicate(optax.apply_updates(d_params_mid, d_updates2))
 
+        return _finish(
+            state, new_g_params, new_g_bs, new_g_opt, new_d_params, new_sp,
+            new_d_opt, g_loss, d_loss_real, d_loss_fake, logits_real,
+            logits_fake,
+        )
+
+    def _finish(state, new_g_params, new_g_bs, new_g_opt, new_d_params,
+                new_sp, new_d_opt, g_loss, d_loss_real, d_loss_fake,
+                logits_real, logits_fake):
         metrics = {
             "g_loss": g_loss,
             "d_loss": d_loss_real + d_loss_fake,  # SNDCGAN.py:264
@@ -247,20 +309,33 @@ def make_sampler(cfg: SNDCGANTrainConfig):
     return sample
 
 
-def make_epoch_runner(cfg: SNDCGANTrainConfig):
+def make_epoch_runner(cfg: SNDCGANTrainConfig, mesh=None, spatial: bool = False):
     """Device-resident whole-epoch runner: scans the fused step over batches.
 
     TPU-native fast path with zero per-batch host involvement: the (uint8)
     dataset lives in HBM; each scan iteration gathers its shuffled batch by
     index and runs the fused step. Metrics come back stacked per batch.
+
+    Under a mesh the dataset is kept replicated in HBM and each gathered
+    batch is constrained to the data(/spatial) sharding, so every scan
+    iteration runs the same SPMD program as the streaming-mesh path — the
+    resident fast path and multi-device scaling compose instead of being
+    either/or.
     """
-    step_fn = make_train_step(cfg)
+    step_fn = make_train_step(cfg, mesh=mesh)
+    if mesh is not None:
+        from imagegeneration_tpu.core import mesh as meshlib
+
+        batch_sh = meshlib.batch_sharding(mesh, spatial)
 
     def run_epoch(state: SNDCGANState, images_u8: jax.Array, perm: jax.Array):
         """images_u8: (N,H,W,C) resident dataset; perm: (nb, B) batch indices."""
 
         def body(carry, idx):
-            new_carry, metrics = step_fn(carry, jnp.take(images_u8, idx, axis=0))
+            batch = jnp.take(images_u8, idx, axis=0)
+            if mesh is not None:
+                batch = jax.lax.with_sharding_constraint(batch, batch_sh)
+            new_carry, metrics = step_fn(carry, batch)
             return new_carry, metrics
 
         return jax.lax.scan(body, state, perm)

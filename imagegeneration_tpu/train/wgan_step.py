@@ -145,7 +145,15 @@ def make_train_step(cfg: WGANTrainConfig, mesh=None):
         new_params = replicate(new_params)
         return new_params, new_bs, new_opt, loss
 
-    def train_step(state: WGANState, batch_u8: jax.Array):
+    def train_step(
+        state: WGANState,
+        batch_u8: jax.Array,
+        z_fake: jax.Array | None = None,
+        z_gan: jax.Array | None = None,
+    ):
+        """Explicit z_fake/z_gan replay the reference's latent draws exactly
+        (cross-framework parity tests); None (training) draws from the
+        step-folded stream."""
         x_real = normalize_on_device(batch_u8, cfg.model.dtype)
         k_fake, k_gan, k_gp = jax.random.split(
             jax.random.fold_in(z_stream, state.step), 3
@@ -155,7 +163,8 @@ def make_train_step(cfg: WGANTrainConfig, mesh=None):
         # fake batch from G in inference mode (predict quirk, WGAN.py:224);
         # depends only on pre-step G state, so computing it up front is
         # order-equivalent to the reference's sequence
-        z_fake = rnglib.normal_z(k_fake, bsz, cfg.model.z_size)
+        if z_fake is None:
+            z_fake = rnglib.normal_z(k_fake, bsz, cfg.model.z_size)
         x_fake = gen.apply(
             {"params": state.g_params, "batch_stats": state.g_batch_stats},
             z_fake, train=False,
@@ -179,13 +188,16 @@ def make_train_step(cfg: WGANTrainConfig, mesh=None):
         # 4. combined-model update every n_critic batches (WGAN.py:306-318)
         def gan_branch(operand):
             g_params, g_bs, cp, cbs, gan_opt = operand
-            z_gan = rnglib.normal_z(k_gan, bsz, cfg.model.z_size)
+            z_g = (
+                rnglib.normal_z(k_gan, bsz, cfg.model.z_size)
+                if z_gan is None else z_gan
+            )
 
             def loss_fn(both):
                 gp, cp_inner = both
                 fake, g_mut = gen.apply(
                     {"params": gp, "batch_stats": g_bs},
-                    z_gan, train=True, mutable=["batch_stats"],
+                    z_g, train=True, mutable=["batch_stats"],
                 )
                 scores, c_mut = critic.apply(
                     {"params": cp_inner, "batch_stats": cbs},

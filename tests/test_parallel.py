@@ -99,6 +99,45 @@ def test_replicated_state_stays_in_sync():
     assert kernel.sharding.is_fully_replicated
 
 
+def test_resident_epoch_runner_under_mesh_matches_single_device():
+    """The lax.scan whole-epoch runner (the zero-host-involvement fast path)
+    must compose with the mesh: replicated HBM dataset, per-iteration batch
+    resharded to the data axis, metrics matching the single-device scan."""
+    from imagegeneration_tpu.train.sndcgan_step import make_epoch_runner
+
+    cfg = SNDCGANTrainConfig(model=TINY, batch_size=8, seed=7)
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 256, (16, 16, 16, 3), np.uint8)
+    perm = rng.permutation(16).reshape(2, 8)
+
+    run_single = jax.jit(make_epoch_runner(cfg))
+    s1, m1 = run_single(init_state(cfg), jnp.asarray(images), jnp.asarray(perm))
+
+    mesh = make_mesh(MeshConfig(data=8, spatial=1))
+    repl = NamedSharding(mesh, P())
+    run_mesh = jax.jit(
+        make_epoch_runner(cfg, mesh=mesh),
+        in_shardings=(repl, repl, repl),
+        out_shardings=(repl, repl),
+    )
+    state0 = replicate_state(init_state(cfg), mesh)
+    s8, m8 = run_mesh(
+        state0,
+        jax.device_put(images, repl),
+        jax.device_put(perm, repl),
+    )
+
+    for k in m1:
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(m8[k]), rtol=2e-3, atol=2e-4,
+            err_msg=f"metric {k}",
+        )
+    a = np.asarray(s1.g_params["stem"]["Dense_0"]["kernel"])
+    b = np.asarray(s8.g_params["stem"]["Dense_0"]["kernel"])
+    assert np.mean(np.abs(a - b)) < 1e-5
+    assert s8.g_params["stem"]["Dense_0"]["kernel"].sharding.is_fully_replicated
+
+
 def test_graft_entry_dryrun_multichip():
     import __graft_entry__ as ge
 
