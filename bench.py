@@ -42,8 +42,9 @@ ITERS = 20
 def _setup_jax():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from imagegeneration_tpu.core.platform import setup_compile_cache
+
+    setup_compile_cache(jax)  # host-fingerprinted (cross-host AOT safety)
     return jax
 
 

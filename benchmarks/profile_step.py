@@ -36,8 +36,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from imagegeneration_tpu.core.platform import setup_compile_cache
+
+    setup_compile_cache(jax)  # host-fingerprinted (cross-host AOT safety)
 
     from imagegeneration_tpu.models.sndcgan import SNDCGANConfig, make_models
     from imagegeneration_tpu.train.sndcgan_step import (

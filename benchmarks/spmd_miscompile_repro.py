@@ -1,27 +1,30 @@
-"""Minimal repro of the XLA SPMD partitioner miscompile worked around in
+"""Regression probe for the XLA SPMD partitioner miscompile worked around in
 train/common.make_replicator (see its docstring and tests/test_parallel.py).
 
-Shape of the bug: inside ONE jitted program, under a (data x spatial) batch
-sharding with H partitioned,
+Shape of the bug, reduced from the fused SNDCGAN step: under a
+(data x spatial) batch sharding with H partitioned,
 
-    grads = grad(loss(D(x_sharded)))          # D params replicated
-    new_params = adam_apply(params, grads)
-    second_logits = D'(x2_sharded; new_params) # forward with UPDATED params
+    grads  = grad(bce(D(x_sharded)))      # D params replicated; grads CORRECT
+    params' = params - lr * grads          # plain SGD suffices to trigger it
+    logits  = D(fake; params')             # fake comes from a REPLICATED
+                                           # latent through the generator
 
-the partitioner propagates a spatial sharding into `new_params` feeding the
-second forward, producing numerically WRONG results (observed ~2x divergence
-in the second loss) — unless every post-apply parameter tree is explicitly
-constrained to replication (lax.with_sharding_constraint(..., P())), which is
-what make_replicator installs inside the fused train steps.
+the second forward returns numerically WRONG logits (d_loss_fake diverged
+0.72 -> 1.15 at the 16x16 tiny config) unless params' is explicitly
+constrained to replication. Bisect facts (this script re-verifies them):
+- without the optimizer update, every quantity matches exactly;
+- gradients themselves match (global norm identical);
+- the miscompile needs the REAL discriminator (7-conv + Dense head) — a
+  2-conv toy with a mean head compiles correctly, so the trigger is the
+  partitioner's sharding choice for the updated conv kernels feeding the
+  deeper second forward, not the update math.
 
 Run on the 8-virtual-device CPU backend:
 
     python benchmarks/spmd_miscompile_repro.py
 
-Prints the single-device loss, the constrained-mesh loss (must match), and
-the unconstrained-mesh loss (diverges when the underlying XLA bug is
-present; if XLA fixes it, this script reports CLEAN and the workaround can
-be retired).
+If this prints CLEAN after a jax/XLA upgrade, the make_replicator workaround
+can be retired (re-run tests/test_parallel.py and the config-5 test first).
 """
 
 from __future__ import annotations
@@ -38,81 +41,103 @@ jax.config.update("jax_num_cpu_devices", 8)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+import optax  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from imagegeneration_tpu.core.data import normalize_on_device  # noqa: E402
+from imagegeneration_tpu.core.mesh import (  # noqa: E402
+    MeshConfig,
+    batch_sharding,
+    make_mesh,
+)
+from imagegeneration_tpu.models.sndcgan import (  # noqa: E402
+    SNDCGANConfig,
+    make_models,
+)
+from imagegeneration_tpu.train import common  # noqa: E402
+from imagegeneration_tpu.train.sndcgan_step import (  # noqa: E402
+    SNDCGANTrainConfig,
+    init_state,
+)
+
+TINY = SNDCGANConfig(image_size=(16, 16, 3), base_width=16, dropout_rate=0.0)
 
 
 def make_step(constrain: bool, mesh):
-    """One G-then-D-ish chain: loss1 -> sgd update -> loss2 on new params."""
+    gen, disc = make_models(TINY)
 
-    def conv_net(params, x):
-        y = jax.lax.conv_general_dilated(
-            x, params["k1"], (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    def step(st, batch_u8):
+        x_real = normalize_on_device(batch_u8, jnp.float32)
+        z = jax.random.uniform(
+            jax.random.key(3), (batch_u8.shape[0], 128), minval=-1, maxval=1
         )
-        y = jax.nn.leaky_relu(y, 0.1)
-        y = jax.lax.conv_general_dilated(
-            y, params["k2"], (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        fake, _ = gen.apply(
+            {"params": st.g_params, "batch_stats": st.g_batch_stats},
+            z, train=True, mutable=["batch_stats"],
         )
-        return jnp.mean(y, axis=(1, 2, 3))
+        fake = jax.lax.stop_gradient(fake)
 
-    def step(params, x1, x2):
-        loss1, grads = jax.value_and_grad(
-            lambda p: jnp.mean(jnp.square(conv_net(p, x1) - 1.0))
-        )(params)
-        new_params = jax.tree.map(lambda p, g: p - 0.1 * g, params, grads)
+        def d_real_fn(dp):
+            lr = disc.apply(
+                {"params": dp, "spectral": st.d_spectral},
+                x_real, train=False, update_sn=False,
+            )
+            return common.bce_logits_mean(jnp.ones_like(lr), lr)
+
+        d_loss_real, grads = jax.value_and_grad(d_real_fn)(st.d_params)
+        d_mid = optax.apply_updates(
+            st.d_params, jax.tree.map(lambda g: -0.1 * g, grads)
+        )
         if constrain:
-            new_params = jax.tree.map(
+            d_mid = jax.tree.map(
                 lambda p: jax.lax.with_sharding_constraint(
                     p, NamedSharding(mesh, P())
                 ),
-                new_params,
+                d_mid,
             )
-        loss2 = jnp.mean(jnp.square(conv_net(new_params, x2)))
-        return loss1, loss2
+        lf = disc.apply(
+            {"params": d_mid, "spectral": st.d_spectral},
+            fake, train=False, update_sn=False,
+        )
+        d_loss_fake = common.bce_logits_mean(jnp.zeros_like(lf), lf)
+        return {"d_loss_real": d_loss_real, "d_loss_fake": d_loss_fake}
 
     return step
 
 
 def main() -> None:
-    rng = np.random.default_rng(0)
-    params = {
-        "k1": jnp.asarray(rng.normal(0, 0.1, (3, 3, 3, 16)), jnp.float32),
-        "k2": jnp.asarray(rng.normal(0, 0.1, (4, 4, 16, 16)), jnp.float32),
-    }
-    x1 = jnp.asarray(rng.normal(0, 1, (4, 16, 16, 3)), jnp.float32)
-    x2 = jnp.asarray(rng.normal(0, 1, (4, 16, 16, 3)), jnp.float32)
+    cfg = SNDCGANTrainConfig(model=TINY, batch_size=4, seed=7)
+    state = init_state(cfg)
+    batch = np.random.default_rng(1).integers(0, 256, (4, 16, 16, 3), np.uint8)
 
-    devices = np.array(jax.devices()[:8]).reshape(4, 2)
-    mesh = Mesh(devices, ("data", "spatial"))
-    batch_sh = NamedSharding(mesh, P("data", "spatial"))
+    mesh = make_mesh(MeshConfig(data=4, spatial=2))
     repl = NamedSharding(mesh, P())
+    bsh = batch_sharding(mesh, spatial=True)
 
-    l1_ref, l2_ref = jax.jit(make_step(False, mesh))(params, x1, x2)
-
+    ref = jax.jit(make_step(False, mesh))(state, batch)
     results = {}
     for constrain in (True, False):
-        step = jax.jit(
+        m = jax.jit(
             make_step(constrain, mesh),
-            in_shardings=(repl, batch_sh, batch_sh),
-            out_shardings=(repl, repl),
-        )
-        l1, l2 = step(
-            jax.device_put(params, repl),
-            jax.device_put(x1, batch_sh),
-            jax.device_put(x2, batch_sh),
-        )
-        results[constrain] = (float(l1), float(l2))
+            in_shardings=(repl, bsh),
+            out_shardings=repl,
+        )(jax.device_put(state, repl), jax.device_put(batch, bsh))
+        results[constrain] = {k: float(v) for k, v in m.items()}
 
-    print(f"single device      : loss1={float(l1_ref):.6f} loss2={float(l2_ref):.6f}")
-    print(f"mesh, constrained  : loss1={results[True][0]:.6f} loss2={results[True][1]:.6f}")
-    print(f"mesh, UNconstrained: loss1={results[False][0]:.6f} loss2={results[False][1]:.6f}")
-    bad = abs(results[False][1] - float(l2_ref)) / max(abs(float(l2_ref)), 1e-9)
-    ok = abs(results[True][1] - float(l2_ref)) / max(abs(float(l2_ref)), 1e-9)
-    assert ok < 1e-4, f"constrained path diverged ({ok:.2%}) — workaround broken!"
+    r = {k: float(v) for k, v in ref.items()}
+    print(f"single device      : {r}")
+    print(f"mesh, constrained  : {results[True]}")
+    print(f"mesh, UNconstrained: {results[False]}")
+    ok = abs(results[True]["d_loss_fake"] - r["d_loss_fake"])
+    bad = abs(results[False]["d_loss_fake"] - r["d_loss_fake"])
+    assert ok < 1e-4, f"constrained path diverged ({ok:.2e}) — workaround broken!"
     if bad > 1e-3:
-        print(f"REPRODUCED: unconstrained loss2 off by {bad:.2%} -> workaround required")
+        print(f"REPRODUCED: unconstrained d_loss_fake off by {bad:.4f} "
+              "-> make_replicator workaround still required")
     else:
         print("CLEAN: XLA no longer miscompiles this chain; "
-              "make_replicator could be retired (re-test the full step first)")
+              "make_replicator could be retired (re-run tests/test_parallel.py "
+              "and tests/test_config5.py first)")
 
 
 if __name__ == "__main__":

@@ -35,10 +35,12 @@ def create_samples(gen, g_variables, input_z, batch_size, image_size):
     import jax
     import jax.numpy as jnp
 
-    fn = _sampler_cache.get(id(gen))
+    # Keyed on the module object itself (a dict keyed by id() could collide
+    # with a recycled address after GC); holding the key keeps gen alive.
+    fn = _sampler_cache.get(gen)
     if fn is None:
         fn = jax.jit(lambda v, z: (gen.apply(v, z, train=False) + 1.0) / 2.0)
-        _sampler_cache[id(gen)] = fn
+        _sampler_cache[gen] = fn
     imgs = fn(g_variables, input_z)
     return np.asarray(jnp.reshape(imgs, (batch_size, *image_size)))
 

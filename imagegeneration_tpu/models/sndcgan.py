@@ -37,6 +37,7 @@ from imagegeneration_tpu.nn.layers import (
     ConvTranspose,
     Dense,
 )
+from imagegeneration_tpu.ops.bitdropout import BitDropout
 from imagegeneration_tpu.nn.spectral_norm import SpectralNormConv, SpectralNormDense
 
 Dtype = Any
@@ -52,6 +53,11 @@ class SNDCGANConfig:
     base_width: int = 512  # generator stem channels / top disc channels
     spectral_norm: bool = False
     quirk_eval_bn: bool = False  # reproduce reference's inference-mode gen BN
+    # Bit-packed dropout masks (ops/bitdropout): 1 random bit per element at
+    # rate 0.5 instead of 32 — profiling showed full-width mask generation
+    # was 27% of the fused train step. Same iid Bernoulli semantics,
+    # different (still deterministic) mask values per key.
+    dropout_bits: bool = True
     dtype: Any = jnp.float32
 
 
@@ -137,7 +143,10 @@ class Discriminator(fnn.Module):
             else:
                 x = Conv(feats, ksize, stride, "SAME", dtype=dt, name=f"conv{i}")(x)
             x = jax.nn.leaky_relu(x, negative_slope=0.1)
-            x = fnn.Dropout(rate=cfg.dropout_rate, deterministic=not train)(x)
+            if cfg.dropout_bits:
+                x = BitDropout(rate=cfg.dropout_rate)(x, deterministic=not train)
+            else:
+                x = fnn.Dropout(rate=cfg.dropout_rate, deterministic=not train)(x)
 
         if features:
             # AvgPool(8x8, stride 8, VALID) + flatten, as in the reference's

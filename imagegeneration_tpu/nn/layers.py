@@ -32,10 +32,6 @@ Dtype = Any
 # Keras initializer equivalents.
 KERAS_GLOROT_UNIFORM = jax.nn.initializers.glorot_uniform()
 KERAS_RANDOM_NORMAL_002 = jax.nn.initializers.normal(stddev=0.02)
-# Keras "random_uniform" string default: U(-0.05, 0.05).
-KERAS_RANDOM_UNIFORM = jax.nn.initializers.uniform(scale=0.1)  # adjusted below
-
-
 def _keras_random_uniform(key, shape, dtype=jnp.float32):
     """Keras 'random_uniform' initializer string default: U(-0.05, 0.05)."""
     return jax.random.uniform(key, shape, dtype, minval=-0.05, maxval=0.05)

@@ -45,6 +45,23 @@ def replicate_state(state, mesh: Mesh):
     return jax.device_put(state, NamedSharding(mesh, P()))
 
 
+def jit_epoch_runner(runner: Callable, mesh: Mesh | None, n_data: int):
+    """Jit a device-resident epoch runner `(state, *data_args) -> (state,
+    metrics)`. Under a mesh everything is replicated (state donated, the
+    HBM dataset + permutation indices replicated); the runner itself
+    reshards each gathered batch to the data axis in-program (see
+    make_epoch_runner(mesh=...)). n_data = number of data args."""
+    if mesh is None:
+        return jax.jit(runner, donate_argnums=0)
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        runner,
+        in_shardings=(repl,) * (n_data + 1),
+        out_shardings=(repl, repl),
+        donate_argnums=0,
+    )
+
+
 def shard_paired_train_step(
     step_fn: Callable,
     mesh: Mesh,

@@ -94,7 +94,6 @@ class CycleGANEngine:
         if mesh is not None:
             self._step = dp.shard_paired_train_step(step_fn, mesh)
             self.state = dp.replicate_state(self.state, mesh)
-            resident = False
         else:
             self._step = jax.jit(step_fn, donate_argnums=0)
         if resident is None:
@@ -104,7 +103,9 @@ class CycleGANEngine:
             )
         self.resident = resident
         self._epoch_runner = (
-            jax.jit(steplib.make_epoch_runner(self.cfg), donate_argnums=0)
+            dp.jit_epoch_runner(
+                steplib.make_epoch_runner(self.cfg, mesh=mesh), mesh, n_data=4
+            )
             if resident
             else None
         )
@@ -157,9 +158,13 @@ class CycleGANEngine:
 
             if self.resident:
                 if self._resident is None:
+                    put = (
+                        (lambda x: dp.replicate_state(x, self.mesh))
+                        if self.mesh is not None else jax.device_put
+                    )
                     self._resident = (
-                        jax.device_put(self.loader.ds_x.images),
-                        jax.device_put(self.loader.ds_y.images),
+                        put(self.loader.ds_x.images),
+                        put(self.loader.ds_y.images),
                     )
                 nb = self.loader.num_batches(self.batch_size)
                 rng_x = self.loader.ds_x._chain.numpy_rng("data", epoch_label)

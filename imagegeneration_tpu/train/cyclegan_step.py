@@ -223,20 +223,26 @@ def make_translators(cfg: CycleGANTrainConfig):
     return translate_g, translate_f
 
 
-def make_epoch_runner(cfg: CycleGANTrainConfig):
-    """Device-resident epoch scan over paired batch indices."""
-    step_fn = make_train_step(cfg)
+def make_epoch_runner(cfg: CycleGANTrainConfig, mesh=None, spatial: bool = False):
+    """Device-resident epoch scan over paired batch indices.
+    Under a mesh: replicated HBM datasets, per-iteration batch resharding."""
+    step_fn = make_train_step(cfg, mesh=mesh)
+    if mesh is not None:
+        from imagegeneration_tpu.core import mesh as meshlib
+
+        batch_sh = meshlib.batch_sharding(mesh, spatial)
 
     def run_epoch(
         state: CycleGANState, images_x_u8, images_y_u8, perm_x, perm_y
     ):
         def body(carry, idx):
             ix, iy = idx
-            new_carry, metrics = step_fn(
-                carry,
-                jnp.take(images_x_u8, ix, axis=0),
-                jnp.take(images_y_u8, iy, axis=0),
-            )
+            bx = jnp.take(images_x_u8, ix, axis=0)
+            by = jnp.take(images_y_u8, iy, axis=0)
+            if mesh is not None:
+                bx = jax.lax.with_sharding_constraint(bx, batch_sh)
+                by = jax.lax.with_sharding_constraint(by, batch_sh)
+            new_carry, metrics = step_fn(carry, bx, by)
             return new_carry, metrics
 
         return jax.lax.scan(body, state, (perm_x, perm_y))

@@ -118,22 +118,15 @@ class SNDCGANEngine:
         if resident is None:
             resident = self.dataset.images.nbytes < 2 * 1024**3
         self.resident = resident
-        if resident:
-            runner = steplib.make_epoch_runner(self.cfg, mesh=mesh)
-            if mesh is not None:
-                # state replicated+donated, dataset replicated in HBM, perm
-                # replicated; each scanned batch is resharded in-program.
-                repl = NamedSharding(mesh, PartitionSpec())
-                self._epoch_runner = jax.jit(
-                    runner,
-                    in_shardings=(repl, repl, repl),
-                    out_shardings=(repl, repl),
-                    donate_argnums=0,
-                )
-            else:
-                self._epoch_runner = jax.jit(runner, donate_argnums=0)
-        else:
-            self._epoch_runner = None
+        # state replicated+donated, dataset replicated in HBM, perm
+        # replicated; each scanned batch is resharded in-program.
+        self._epoch_runner = (
+            dp.jit_epoch_runner(
+                steplib.make_epoch_runner(self.cfg, mesh=mesh), mesh, n_data=2
+            )
+            if resident
+            else None
+        )
         self._resident_images = None
         self._sample = jax.jit(steplib.make_sampler(self.cfg))
 

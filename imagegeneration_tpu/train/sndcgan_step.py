@@ -61,6 +61,11 @@ class SNDCGANTrainConfig:
     # real+fake loss, one apply — the stability knob (pair with TTUR via
     # lr_disc != lr_gen if desired).
     d_updates: int = 2
+    # Rematerialize discriminator activations in the backward passes of the
+    # G-update and D-fake-update (jax.checkpoint): recompute the trunk
+    # instead of saving per-layer residuals. Perf experiment knob
+    # (benchmarks/exp_dropout_residual.py).
+    remat_d: bool = False
     # PRNG impl for the dropout stream: "rbg" (default) uses the on-chip
     # hardware RNG — threefry mask generation for the 21 dropout sites per
     # step was measured at 56% of the whole train step (94 -> 55 ms/step at
@@ -162,9 +167,16 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
         # ---- Generator update (D held fixed; reference SNDCGAN.py:242-249).
         def g_loss_fn(g_params):
             fake, new_bs = _g_apply(gen, g_params, state.g_batch_stats, z, True)
-            logits_fake, _ = _d_apply(
-                disc, state.d_params, state.d_spectral, fake, dk_g
-            )
+
+            def d_on_fake(f):
+                logits, _ = _d_apply(
+                    disc, state.d_params, state.d_spectral, f, dk_g
+                )
+                return logits
+
+            logits_fake = (
+                jax.checkpoint(d_on_fake) if cfg.remat_d else d_on_fake
+            )(fake)
             if use_hinge:
                 loss = common.hinge_g_loss(logits_fake)
             else:
@@ -246,9 +258,13 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
         # ---- D update #2: stale fake batch on the real-updated D
         # (SNDCGAN.py:259-267; two Adam applies per batch is faithful).
         def d_fake_loss_fn(d_params):
-            logits_fake, _ = _d_apply(
-                disc, d_params, new_sp, fake_images, dk_fake
-            )
+            def d_on_fake2(p):
+                logits, _ = _d_apply(disc, p, new_sp, fake_images, dk_fake)
+                return logits
+
+            logits_fake = (
+                jax.checkpoint(d_on_fake2) if cfg.remat_d else d_on_fake2
+            )(d_params)
             if use_hinge:
                 loss = jnp.mean(jax.nn.relu(1.0 + logits_fake.astype(jnp.float32)))
             else:

@@ -97,14 +97,15 @@ class WGANEngine:
         if mesh is not None:
             self._step = dp.shard_train_step(step_fn, mesh)
             self.state = dp.replicate_state(self.state, mesh)
-            resident = False
         else:
             self._step = jax.jit(step_fn, donate_argnums=0)
         if resident is None:
             resident = self.dataset.images.nbytes < 2 * 1024**3
         self.resident = resident
         self._epoch_runner = (
-            jax.jit(steplib.make_epoch_runner(self.cfg), donate_argnums=0)
+            dp.jit_epoch_runner(
+                steplib.make_epoch_runner(self.cfg, mesh=mesh), mesh, n_data=2
+            )
             if resident
             else None
         )
@@ -216,7 +217,11 @@ class WGANEngine:
             )
             if self.resident:
                 if self._resident_images is None:
-                    self._resident_images = jax.device_put(self.dataset.images)
+                    self._resident_images = (
+                        dp.replicate_state(self.dataset.images, self.mesh)
+                        if self.mesh is not None
+                        else jax.device_put(self.dataset.images)
+                    )
                 rng = self.chain.numpy_rng("data", self.epoch)
                 perm = rng.permutation(len(self.dataset))
                 nb = self.dataset.num_batches(self.batch_size)

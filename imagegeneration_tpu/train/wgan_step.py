@@ -275,13 +275,21 @@ def make_sampler(cfg: WGANTrainConfig):
     return sample
 
 
-def make_epoch_runner(cfg: WGANTrainConfig):
-    """Device-resident epoch scan (see sndcgan_step.make_epoch_runner)."""
-    step_fn = make_train_step(cfg)
+def make_epoch_runner(cfg: WGANTrainConfig, mesh=None, spatial: bool = False):
+    """Device-resident epoch scan (see sndcgan_step.make_epoch_runner).
+    Under a mesh: replicated HBM dataset, per-iteration batch resharding."""
+    step_fn = make_train_step(cfg, mesh=mesh)
+    if mesh is not None:
+        from imagegeneration_tpu.core import mesh as meshlib
+
+        batch_sh = meshlib.batch_sharding(mesh, spatial)
 
     def run_epoch(state: WGANState, images_u8: jax.Array, perm: jax.Array):
         def body(carry, idx):
-            new_carry, metrics = step_fn(carry, jnp.take(images_u8, idx, axis=0))
+            batch = jnp.take(images_u8, idx, axis=0)
+            if mesh is not None:
+                batch = jax.lax.with_sharding_constraint(batch, batch_sh)
+            new_carry, metrics = step_fn(carry, batch)
             return new_carry, metrics
 
         return jax.lax.scan(body, state, perm)

@@ -1,0 +1,74 @@
+"""ops/bitdropout: statistical correctness + custom-VJP mask consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagegeneration_tpu.ops.bitdropout import BitDropout, bit_dropout
+
+
+def test_keep_rate_matches_quantized_probability():
+    key = jax.random.key(0)
+    x = jnp.ones((512, 512), jnp.float32)
+    for rate in (0.5, 0.25, 0.1, 0.73):
+        y = np.asarray(bit_dropout(key, x, rate))
+        cut = round(rate * 256)
+        keep_prob = (256 - cut) / 256
+        frac_kept = float((y != 0).mean())
+        # binomial std over 262k samples ~ 1e-3
+        assert frac_kept == pytest.approx(keep_prob, abs=5e-3), rate
+        # inverted-dropout scale: kept values are exactly 1/keep_prob
+        kept_vals = y[y != 0]
+        np.testing.assert_allclose(kept_vals, 1.0 / keep_prob, rtol=1e-6)
+        # unbiased: E[y] == 1
+        assert float(y.mean()) == pytest.approx(1.0, abs=2e-2), rate
+
+
+def test_rate_zero_and_one_edges():
+    key = jax.random.key(1)
+    x = jnp.ones((64, 64))
+    np.testing.assert_array_equal(np.asarray(bit_dropout(key, x, 0.0)), 1.0)
+    y = np.asarray(bit_dropout(key, x, 1.0))
+    np.testing.assert_array_equal(y, 0.0)  # cut=256: nothing survives
+
+
+def test_vjp_regenerates_identical_mask():
+    """The backward pass recomputes the mask from the key; gradient support
+    must exactly match the forward keep pattern, scaled identically."""
+    key = jax.random.key(7)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(128, 128)), jnp.float32)
+
+    y, vjp = jax.vjp(lambda t: bit_dropout(key, t, 0.5), x)
+    (gx,) = vjp(jnp.ones_like(y))
+    mask_fwd = np.asarray(y != 0)
+    mask_bwd = np.asarray(gx != 0)
+    np.testing.assert_array_equal(mask_fwd, mask_bwd)
+    np.testing.assert_allclose(np.asarray(gx)[mask_bwd], 2.0, rtol=1e-6)
+
+
+def test_deterministic_per_key():
+    x = jnp.ones((256, 256))
+    a = np.asarray(bit_dropout(jax.random.key(3), x, 0.5))
+    b = np.asarray(bit_dropout(jax.random.key(3), x, 0.5))
+    c = np.asarray(bit_dropout(jax.random.key(4), x, 0.5))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_module_independent_streams_per_site():
+    """Two BitDropout instances in one module draw different masks (flax
+    folds the module path into make_rng)."""
+    from flax import linen as fnn
+
+    class TwoDrops(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            a = BitDropout(rate=0.5)(x, deterministic=False)
+            b = BitDropout(rate=0.5)(x, deterministic=False)
+            return a, b
+
+    m = TwoDrops()
+    x = jnp.ones((64, 64))
+    a, b = m.apply({}, x, rngs={"dropout": jax.random.key(0)})
+    assert not np.array_equal(np.asarray(a), np.asarray(b))

@@ -26,7 +26,7 @@ def test_sndcgan_step1_goldens():
 
     cfg = SNDCGANTrainConfig(
         model=SNDCGANConfig(image_size=(16, 16, 3), base_width=16,
-                            dropout_rate=0.25),
+                            dropout_rate=0.25, dropout_bits=False),
         batch_size=2, seed=62,
         dropout_impl="threefry",  # goldens were recorded on this stream
     )
@@ -34,6 +34,29 @@ def test_sndcgan_step1_goldens():
     golden = {
         "d_loss": 1.422473, "d_loss_fake": 0.729143, "d_loss_real": 0.693331,
         "d_prob_fake": 0.517656, "d_prob_real": 0.499911, "g_loss": 0.690644,
+    }
+    for k, v in golden.items():
+        assert float(m[k]) == pytest.approx(v, **TOL), k
+
+
+def test_sndcgan_step1_goldens_bitdropout():
+    """Same semantics pin for the default bit-packed dropout path (different
+    mask stream, so its own recorded values)."""
+    from imagegeneration_tpu.models.sndcgan import SNDCGANConfig
+    from imagegeneration_tpu.train.sndcgan_step import (
+        SNDCGANTrainConfig, init_state, make_train_step,
+    )
+
+    cfg = SNDCGANTrainConfig(
+        model=SNDCGANConfig(image_size=(16, 16, 3), base_width=16,
+                            dropout_rate=0.25, dropout_bits=True),
+        batch_size=2, seed=62,
+        dropout_impl="threefry",
+    )
+    _, m = jax.jit(make_train_step(cfg))(init_state(cfg), _batch((2, 16, 16, 3), 2024))
+    golden = {
+        "d_loss": 1.423676, "d_loss_fake": 0.727721, "d_loss_real": 0.695955,
+        "d_prob_fake": 0.516991, "d_prob_real": 0.498598, "g_loss": 0.689171,
     }
     for k, v in golden.items():
         assert float(m[k]) == pytest.approx(v, **TOL), k

@@ -138,6 +138,80 @@ def test_resident_epoch_runner_under_mesh_matches_single_device():
     assert s8.g_params["stem"]["Dense_0"]["kernel"].sharding.is_fully_replicated
 
 
+def test_wgan_resident_epoch_runner_under_mesh():
+    from imagegeneration_tpu.models.wgan import WGANConfig
+    from imagegeneration_tpu.parallel.dp import jit_epoch_runner
+    from imagegeneration_tpu.train.wgan_step import (
+        WGANTrainConfig,
+        init_state as wgan_init,
+        make_epoch_runner as wgan_runner,
+    )
+
+    cfg = WGANTrainConfig(
+        model=WGANConfig(image_size=(16, 16, 3), base_width=16),
+        batch_size=8, n_critic=2, seed=7,
+    )
+    rng = np.random.default_rng(5)
+    images = rng.integers(0, 256, (16, 16, 16, 3), np.uint8)
+    perm = rng.permutation(16).reshape(2, 8)
+
+    s1, m1 = jit_epoch_runner(wgan_runner(cfg), None, 2)(
+        wgan_init(cfg), jnp.asarray(images), jnp.asarray(perm)
+    )
+    mesh = make_mesh(MeshConfig(data=8, spatial=1))
+    s8, m8 = jit_epoch_runner(wgan_runner(cfg, mesh=mesh), mesh, 2)(
+        replicate_state(wgan_init(cfg), mesh),
+        replicate_state(images, mesh),
+        replicate_state(perm, mesh),
+    )
+    for k in m1:
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(m8[k]), rtol=2e-3, atol=2e-4,
+            err_msg=f"metric {k}",
+        )
+    a = np.asarray(jax.tree.leaves(s1.c_params)[0])
+    b = np.asarray(jax.tree.leaves(s8.c_params)[0])
+    assert np.mean(np.abs(a - b)) < 1e-5
+
+
+def test_cyclegan_resident_epoch_runner_under_mesh():
+    from imagegeneration_tpu.models.cyclegan import CycleGANConfig
+    from imagegeneration_tpu.parallel.dp import jit_epoch_runner
+    from imagegeneration_tpu.train.cyclegan_step import (
+        CycleGANTrainConfig,
+        init_state as cyc_init,
+        make_epoch_runner as cyc_runner,
+    )
+
+    cfg = CycleGANTrainConfig(
+        model=CycleGANConfig(
+            image_size=(16, 16, 3), base_width=8, n_res_blocks=1,
+            in_backend="xla",
+        ),
+        batch_size=8, seed=7,
+    )
+    rng = np.random.default_rng(6)
+    ix = rng.integers(0, 256, (16, 16, 16, 3), np.uint8)
+    iy = rng.integers(0, 256, (16, 16, 16, 3), np.uint8)
+    px = rng.permutation(16).reshape(2, 8)
+    py = rng.permutation(16).reshape(2, 8)
+
+    s1, m1 = jit_epoch_runner(cyc_runner(cfg), None, 4)(
+        cyc_init(cfg), jnp.asarray(ix), jnp.asarray(iy),
+        jnp.asarray(px), jnp.asarray(py),
+    )
+    mesh = make_mesh(MeshConfig(data=8, spatial=1))
+    r = lambda x: replicate_state(x, mesh)  # noqa: E731
+    s8, m8 = jit_epoch_runner(cyc_runner(cfg, mesh=mesh), mesh, 4)(
+        r(cyc_init(cfg)), r(ix), r(iy), r(px), r(py)
+    )
+    for k in m1:
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(m8[k]), rtol=2e-3, atol=2e-4,
+            err_msg=f"metric {k}",
+        )
+
+
 def test_graft_entry_dryrun_multichip():
     import __graft_entry__ as ge
 

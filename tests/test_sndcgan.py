@@ -78,8 +78,14 @@ def test_train_step_changes_params_and_is_deterministic(tiny_image_size):
         np.asarray(s1.g_params["stem"]["Dense_0"]["kernel"]),
     )
     # two D Adam applications per step -> opt state count advanced by 2
-    assert int(s1.d_opt[0].count) == 2
-    assert int(s1.g_opt[0].count) == 1
+    # (common.adam state is a single ScaleByAdamState; count is its scalar
+    # int32 leaf)
+    def _count(opt_state):
+        return [int(leaf) for leaf in jax.tree.leaves(opt_state)
+                if getattr(leaf, "ndim", None) == 0 and leaf.dtype == jnp.int32]
+
+    assert _count(s1.d_opt) == [2]
+    assert _count(s1.g_opt) == [1]
 
 
 def test_train_step_loss_decreases_on_fixed_batch(tiny_image_size):
