@@ -38,6 +38,27 @@ REF_GPU_STEPS_PER_SEC = 0.33  # documented extrapolation, see docstring
 WARMUP = 3
 ITERS = 20
 
+# Dense bf16 peak of one TPU v5e chip (the bench device), for MFU.
+V5E_BF16_PEAK_FLOPS = 197e12
+# Hand FLOP model of the fused step (benchmarks/README.md "vs_baseline"
+# derivation): ~207 GFLOP per image at 256x144. Used only if XLA's own
+# cost analysis is unavailable through the tunnel.
+FALLBACK_STEP_GFLOP_PER_IMAGE_256x144 = 207.0
+
+
+def _step_flops(jitted_step, *example_args) -> float | None:
+    """Total FLOPs of the compiled step program, from XLA's cost analysis
+    (counts every matmul/conv in all three fwd+bwd passes + optimizer)."""
+    try:
+        compiled = jitted_step.lower(*example_args).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", -1.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
 
 def _setup_jax():
     import jax
@@ -102,6 +123,11 @@ def bench_sndcgan() -> dict:
     jax.block_until_ready(imgs)
     sampled_per_sec = sample_iters * batch_size / (time.perf_counter() - t0)
 
+    flops = _step_flops(step, state, batch)
+    if flops is None:
+        flops = FALLBACK_STEP_GFLOP_PER_IMAGE_256x144 * 1e9 * batch_size
+    mfu = steps_per_sec * flops / V5E_BF16_PEAK_FLOPS
+
     out = {
         "metric": "sndcgan_train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 3),
@@ -111,6 +137,8 @@ def bench_sndcgan() -> dict:
         "resolution": "256x144",
         "images_per_sec": round(steps_per_sec * batch_size, 1),
         "sampled_images_per_sec": round(sampled_per_sec, 1),
+        "step_tflop": round(flops / 1e12, 2),
+        "mfu": round(mfu, 3),
         "device": str(jax.devices()[0].device_kind),
     }
     timing_file = Path(__file__).with_name("benchmarks") / "reference_timing.json"
@@ -123,6 +151,53 @@ def bench_sndcgan() -> dict:
                 steps_per_sec / ref["steps_per_sec"], 1
             )
     return out
+
+
+def bench_sndcgan_config5() -> dict:
+    """BASELINE config 5: 512x288 (2x the reference's memory-bound ceiling in
+    each dimension), batch 16, same SN+hinge bf16 step as the headline, one
+    chip. Tracks the spatial-scaling row that previously lived only in
+    benchmarks/README.md prose (VERDICT r2 weak #7)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from imagegeneration_tpu.models.sndcgan import SNDCGANConfig
+    from imagegeneration_tpu.train.sndcgan_step import (
+        SNDCGANTrainConfig,
+        init_state,
+        make_train_step,
+    )
+
+    batch_size = 16
+    cfg = SNDCGANTrainConfig(
+        model=SNDCGANConfig(
+            image_size=(288, 512, 3), spectral_norm=True, dtype=jnp.bfloat16
+        ),
+        batch_size=batch_size,
+        loss="hinge",
+    )
+    state = init_state(cfg)
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    batch = jax.device_put(
+        np.random.default_rng(0).integers(
+            0, 256, (batch_size, 288, 512, 3), dtype=np.uint8
+        )
+    )
+    steps_per_sec, _ = _time_steps(jax, step, state, batch)
+    flops = _step_flops(step, init_state(cfg), batch)
+    if flops is None:
+        # 4x the 256x144 per-image cost (pixel-count scaling)
+        flops = FALLBACK_STEP_GFLOP_PER_IMAGE_256x144 * 4e9 * batch_size
+    return {
+        "metric": "sndcgan_512x288_train_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "batch_size": batch_size,
+        "resolution": "512x288",
+        "images_per_sec": round(steps_per_sec * batch_size, 1),
+        "step_tflop": round(flops / 1e12, 2),
+        "mfu": round(steps_per_sec * flops / V5E_BF16_PEAK_FLOPS, 3),
+    }
 
 
 def bench_wgan() -> dict:
@@ -201,6 +276,7 @@ def bench_cyclegan() -> dict:
 def main() -> None:
     print(json.dumps(bench_wgan()), flush=True)
     print(json.dumps(bench_cyclegan()), flush=True)
+    print(json.dumps(bench_sndcgan_config5()), flush=True)
     print(json.dumps(bench_sndcgan()), flush=True)  # headline LAST
 
 

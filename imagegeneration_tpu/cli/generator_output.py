@@ -37,15 +37,20 @@ def create_samples(gen, g_variables, input_z, batch_size, image_size):
 
     # Keyed on the module object itself (a dict keyed by id() could collide
     # with a recycled address after GC); holding the key keeps gen alive.
-    fn = _sampler_cache.get(gen)
+    # Bounded LRU: distinct generator configs would otherwise pin every
+    # module + jitted sampler for the process lifetime (ADVICE r2).
+    fn = _sampler_cache.pop(gen, None)
     if fn is None:
         fn = jax.jit(lambda v, z: (gen.apply(v, z, train=False) + 1.0) / 2.0)
-        _sampler_cache[gen] = fn
+    _sampler_cache[gen] = fn  # re-insert = most recently used
+    while len(_sampler_cache) > _SAMPLER_CACHE_MAX:
+        _sampler_cache.pop(next(iter(_sampler_cache)))
     imgs = fn(g_variables, input_z)
     return np.asarray(jnp.reshape(imgs, (batch_size, *image_size)))
 
 
 _sampler_cache: dict = {}
+_SAMPLER_CACHE_MAX = 4
 
 
 def output_results_models(

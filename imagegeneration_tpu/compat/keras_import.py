@@ -309,12 +309,39 @@ def import_cyclegan_generator(h5_path: str | Path) -> dict:
     return {"params": params}
 
 
+def import_cyclegan_discriminator(h5_path: str | Path) -> dict:
+    """Reference PatchGAN save_weights .h5 -> {"params"} for
+    models/cyclegan.Discriminator.
+
+    Weighted-layer order (cyclegan/CycleGAN.py:112-126): k_conv(64, no norm)
+    -> k_conv(128/256/512, each conv + IN) -> final Conv2D(1, 4x4 s1); IN
+    gamma/beta map onto conv{i}_in scale/bias ((C,) corrected or (H,1,1)
+    tfa-axis=1 artifacts, decided by shape)."""
+    vals = [a for _, a in _read_save_weights_h5(h5_path)]
+    if len(vals) != 16:
+        raise ValueError(
+            f"unexpected weight count {len(vals)} for a CycleGAN "
+            f"discriminator (expected 16)"
+        )
+    it = iter(vals)
+    params: dict = {}
+    params["conv0"] = {"Conv_0": {"kernel": next(it), "bias": next(it)}}
+    for i in (1, 2, 3):
+        k, b = next(it), next(it)
+        g, beta = next(it), next(it)
+        params[f"conv{i}"] = {"Conv_0": {"kernel": k, "bias": b}}
+        params[f"conv{i}_in"] = _in_params(g, beta, k.shape[-1])
+    params["head"] = {"Conv_0": {"kernel": next(it), "bias": next(it)}}
+    return {"params": params}
+
+
 IMPORTERS = {
     "sndcgan-gen": import_sndcgan_generator,
     "sndcgan-disc": import_sndcgan_discriminator,
     "wgan-gen": import_wgan_generator,
     "wgan-critic": import_wgan_critic,
     "cyclegan-gen": import_cyclegan_generator,
+    "cyclegan-disc": import_cyclegan_discriminator,
 }
 
 

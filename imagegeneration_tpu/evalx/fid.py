@@ -122,6 +122,16 @@ class FIDEvaluator:
         self.quirk_range_mismatch = quirk_range_mismatch
         if feature_source not in ("disc", "inception"):
             raise ValueError(f"unknown feature_source {feature_source!r}")
+        if quirk_range_mismatch and feature_source == "inception":
+            # The range quirk exists only to reproduce the reference's
+            # discriminator-feature pipeline; the Inception extractor's
+            # contract is [-1,1] input, so composing the two silently skews
+            # the standard FID (ADVICE r2).
+            raise ValueError(
+                "quirk_range_mismatch=True is reference bug-compat for the "
+                "disc-feature pipeline and is meaningless with "
+                "feature_source='inception'"
+            )
         self.feature_source = feature_source
         self.inception_weights = inception_weights
         self._jit_features = jax.jit(

@@ -134,6 +134,7 @@ def prepare_images(images: jax.Array) -> jax.Array:
 def load_inception_params(weights_path: str | None = None) -> dict:
     """Keras save_weights .h5 (tf.keras.applications.InceptionV3 naming) if
     available, else a fixed-seed random init (relative-metric mode)."""
+    explicit = weights_path is not None
     weights_path = weights_path or os.environ.get("IMAGEGEN_INCEPTION_WEIGHTS")
     model = InceptionV3Features()
     variables = model.init(
@@ -141,6 +142,17 @@ def load_inception_params(weights_path: str | None = None) -> dict:
         jnp.zeros((1, INCEPTION_SIZE, INCEPTION_SIZE, 3)),
     )
     if not weights_path or not os.path.exists(weights_path):
+        if explicit:
+            # An explicitly passed path that does not exist is a user error —
+            # silently computing "Inception FID" from random features would be
+            # meaningless as an absolute metric (ADVICE r2).
+            raise FileNotFoundError(
+                f"Inception weights not found: {weights_path!r}"
+            )
+        print(
+            "[inception] no weights available — using fixed-seed random init "
+            "(valid as a RELATIVE metric only)", flush=True,
+        )
         return variables
     import h5py
 

@@ -94,7 +94,10 @@ def test_sndcgan_engine_data_parallel(tmp_path, tiny_ds):
         live_output=str(tmp_path / "live_dp"), image_size=(16, 16, 3),
         z_size=8, base_width=16, mesh=mesh,
     )
-    assert not eng.resident  # mesh forces the streaming path
+    # Since round 2's sharded-resident epochs, a mesh no longer forces the
+    # streaming path: a small dataset stays device-resident with the scan
+    # runner composed over the mesh (train/sndcgan_engine.py resident logic).
+    assert eng.resident
     eng.train(1, checkpoint_frequency=1)
     assert (out / "losses.pickle").exists()
     kernel = eng.state.g_params["stem"]["Dense_0"]["kernel"]

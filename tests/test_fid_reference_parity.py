@@ -1,0 +1,168 @@
+"""FID + sampling parity vs the reference pipeline EXECUTED AS-IS.
+
+tests/_reference_worker_fid.py runs the real reference training loop
+(SNDCGAN.py:272-335) for several epochs, then the real
+generator_evaluation.evaluate_fid (generator_evaluation.py:107-199 — pinned
+batches, pop-2 + AvgPool(8,8)+Flatten discriminator features, scipy sqrtm,
+range-mismatch quirk and all) and the real generator_output grid functions
+(generator_output.py:51-100).
+
+This side imports the same epoch-stamped .h5 weights, replays the SAME
+pinned real batches and z through evalx/fid.FIDEvaluator with
+quirk_range_mismatch=True (the bug-compat flag whose whole purpose is this
+comparison), and pins:
+  - per-epoch FID means within 2% (the BASELINE.json north star
+    "FID parity within 2% of reference checkpoints"),
+  - per-epoch per-batch FID values,
+  - create_samples output arrays for a fixed z per epoch (sampling parity,
+    closing SURVEY L5 against the executed reference).
+
+Slow (~6-8 min: eager reference training + 2x FID sweeps on 1 CPU core);
+marked accordingly. The measured deltas are recorded in docs/PARITY.md.
+"""
+
+import os
+import pathlib
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+REF = "/root/reference/sndcgan"
+
+
+@pytest.fixture(scope="session")
+def fid_artifacts(tmp_path_factory):
+    if not os.path.isdir(REF):
+        pytest.skip("reference checkout not available")
+    out = tmp_path_factory.mktemp("refparity_fid")
+    worker = pathlib.Path(__file__).with_name("_reference_worker_fid.py")
+    env = dict(
+        os.environ,
+        TF_USE_LEGACY_KERAS="1",
+        TF_CPP_MIN_LOG_LEVEL="2",
+        JAX_PLATFORMS="cpu",
+    )
+    proc = subprocess.run(
+        [sys.executable, str(worker), REF, str(out)],
+        env=env, capture_output=True, text=True, timeout=3000,
+    )
+    assert proc.returncode == 0, f"worker failed:\n{proc.stderr[-4000:]}"
+    return out
+
+
+@pytest.fixture(scope="session")
+def ours_fids(fid_artifacts, tmp_path_factory):
+    """Imported weights + identical pinned batches through FIDEvaluator."""
+    from imagegeneration_tpu.compat.keras_import import (
+        import_sndcgan_discriminator,
+        import_sndcgan_generator,
+    )
+    from imagegeneration_tpu.core.checkpoint import export_params
+    from imagegeneration_tpu.evalx.fid import FIDEvaluator
+
+    a = np.load(fid_artifacts / "parity.npz")
+    ours = tmp_path_factory.mktemp("ours_fid")
+    gen_dir = ours / "models" / "generator"
+    disc_dir = ours / "models" / "discriminator"
+    gen_dir.mkdir(parents=True)
+    disc_dir.mkdir(parents=True)
+
+    ref_models = fid_artifacts / "run" / "models"
+    epochs = [int(e) for e in a["epochs"]]
+    for e in epochs:
+        export_params(
+            gen_dir / f"gen_model-{e}.msgpack",
+            import_sndcgan_generator(ref_models / "generator" / f"gen_model-{e}.h5"),
+        )
+    disc_epoch = int(a["disc_epoch"])
+    export_params(
+        disc_dir / f"disc_model-{disc_epoch}.msgpack",
+        import_sndcgan_discriminator(
+            ref_models / "discriminator" / f"disc_model-{disc_epoch}.h5"
+        ),
+    )
+
+    out_dir = ours / "evaluation"
+    out_dir.mkdir()
+    # The evaluator's own resumable-init format, pinned to the REFERENCE's
+    # drawn batches/z so both pipelines consume identical inputs.
+    init = {
+        "epochs_used": epochs,
+        "img_real_used": [np.asarray(x, np.float32) for x in a["img_real"]],
+        "random_z_used": [np.asarray(z, np.float32) for z in a["random_z"]],
+        "batches_used": int(a["img_real"].shape[0]),
+        "disc_epoch": disc_epoch,
+    }
+    with open(out_dir / "fid_tmp_init.pickle", "wb") as f:
+        pickle.dump(init, f)
+
+    ev = FIDEvaluator(
+        dir_path=str(ours),
+        output_dir=str(out_dir),
+        image_size=(64, 64, 3),
+        dropout=0.5,
+        quirk_range_mismatch=True,  # the reference's [0,1]-fake vs [-1,1]-real
+        sqrtm_method="scipy",  # the reference's formulation, same numerics
+    )
+    return ev.evaluate(continue_=True), a
+
+
+def test_fid_parity_within_2pct(ours_fids):
+    """North star: per-epoch FID within 2% of the reference's own executed
+    evaluation on identical weights/batches/z."""
+    results, a = ours_fids
+    epochs = [int(e) for e in a["epochs"]]
+    ref_fids = np.asarray(a["epoch_fids"])  # (n_epochs, n_batches)
+    deltas = {}
+    for i, e in enumerate(epochs):
+        ref_mean = float(np.mean(ref_fids[i]))
+        our_mean = float(np.mean(results[e]))
+        deltas[e] = abs(our_mean - ref_mean) / ref_mean
+        assert deltas[e] < 0.02, (
+            f"epoch {e}: ref {ref_mean:.4f} vs ours {our_mean:.4f} "
+            f"({100 * deltas[e]:.2f}% off)"
+        )
+        # batch-level: same math end to end, not just compensating means
+        np.testing.assert_allclose(
+            np.asarray(results[e]), ref_fids[i], rtol=0.05,
+            err_msg=f"per-batch FIDs, epoch {e}",
+        )
+    print("per-epoch FID deltas:", {e: f"{100 * d:.3f}%" for e, d in deltas.items()})
+
+
+def test_sampling_parity_per_epoch(fid_artifacts):
+    """create_samples (generator_output.py:25-28) vs our sampler on imported
+    weights for each exported epoch — the arrays the reference's grid PDFs
+    are built from."""
+    import jax
+
+    from imagegeneration_tpu.compat.keras_import import import_sndcgan_generator
+    from imagegeneration_tpu.models.sndcgan import Generator, SNDCGANConfig
+
+    a = np.load(fid_artifacts / "parity.npz")
+    gen = Generator(SNDCGANConfig(image_size=(64, 64, 3)))
+    sample = jax.jit(
+        lambda v, z: (gen.apply(v, z, train=False) + 1.0) / 2.0
+    )
+    z = np.asarray(a["z_fixed"], np.float32)
+    for e in [int(x) for x in a["epochs"]]:
+        params = import_sndcgan_generator(
+            fid_artifacts / "run" / "models" / "generator" / f"gen_model-{e}.h5"
+        )
+        ours = np.asarray(sample(params, z))
+        np.testing.assert_allclose(
+            ours, a[f"samples_e{e}"], atol=5e-4,
+            err_msg=f"sampling parity, epoch {e}",
+        )
+
+
+def test_reference_grid_pdfs_written(fid_artifacts):
+    """The executed reference grid functions (both .h5 and Checkpoint paths)
+    completed against training's own artifacts."""
+    assert (fid_artifacts / "run" / "ref_grid_models.pdf").exists()
+    assert (fid_artifacts / "run" / "ref_grid_ckpts.pdf").exists()

@@ -55,14 +55,24 @@ def test_inception_features_match_tf(tf_inception):
     np.testing.assert_allclose(ours, theirs, atol=1e-3, rtol=1e-3)
 
 
-def test_inception_loader_falls_back_to_random(tmp_path):
+def test_inception_loader_falls_back_to_random(tmp_path, monkeypatch):
+    """No-path call falls back to the deterministic fixed-seed init
+    (relative-metric mode); an EXPLICITLY passed missing path is a user
+    error and raises instead of silently scoring random features
+    (ADVICE r2)."""
+    import pytest
+
     from imagegeneration_tpu.evalx.inception import load_inception_params
 
+    monkeypatch.delenv("IMAGEGEN_INCEPTION_WEIGHTS", raising=False)
     v1 = load_inception_params(None)
-    v2 = load_inception_params(str(tmp_path / "missing.h5"))
+    v2 = load_inception_params(None)
     a = np.asarray(v1["params"]["conv2d"]["kernel"])
     b = np.asarray(v2["params"]["conv2d"]["kernel"])
     np.testing.assert_array_equal(a, b)  # deterministic fixed-seed init
+
+    with pytest.raises(FileNotFoundError):
+        load_inception_params(str(tmp_path / "missing.h5"))
 
 
 def test_inception_fid_integration(tmp_path):
