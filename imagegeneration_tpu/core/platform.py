@@ -41,7 +41,15 @@ def compile_cache_dir(root: str | None = None) -> str:
       - jax + jaxlib versions (the XLA build that chose the AOT features).
     The root defaults to <repo>/.jax_cache derived from this file's
     location (overridable via IMAGEGEN_JAX_CACHE) rather than a hardcoded
-    absolute path (ADVICE r2)."""
+    absolute path (ADVICE r2).
+
+    Residual (benign, same-host) warning: XLA stamps the CPUID-derived
+    tuning preferences +prefer-no-scatter/+prefer-no-gather into the AOT
+    entry's feature list but never reports them from load-time host
+    detection, so reloading an entry THIS host compiled still logs a
+    mismatch warning for exactly those two. They are not instructions and
+    cannot SIGILL; tests/test_platform.py pins that any reported mismatch
+    names only these."""
     import hashlib
 
     if root is None:

@@ -58,6 +58,12 @@ class SNDCGANConfig:
     # was 27% of the fused train step. Same iid Bernoulli semantics,
     # different (still deterministic) mask values per key.
     dropout_bits: bool = True
+    # Counter-hash mask generation (ops/bitdropout.hash_dropout): the mask
+    # is computed inline in the consumer's layout, removing the ~0.95 ms/ea
+    # relayout copies the rbg u8 masks cost at headline shapes (measured,
+    # benchmarks/trace_breakdown.py). Statistically validated in
+    # tests/test_bitdropout.py; set False to restore the rng-buffer path.
+    dropout_hash: bool = True
     dtype: Any = jnp.float32
 
 
@@ -144,7 +150,10 @@ class Discriminator(fnn.Module):
                 x = Conv(feats, ksize, stride, "SAME", dtype=dt, name=f"conv{i}")(x)
             x = jax.nn.leaky_relu(x, negative_slope=0.1)
             if cfg.dropout_bits:
-                x = BitDropout(rate=cfg.dropout_rate)(x, deterministic=not train)
+                x = BitDropout(
+                    rate=cfg.dropout_rate,
+                    mode="hash" if cfg.dropout_hash else "bits",
+                )(x, deterministic=not train)
             else:
                 x = fnn.Dropout(rate=cfg.dropout_rate, deterministic=not train)(x)
 

@@ -60,6 +60,85 @@ def _bd_bwd(rate, key, g):
 _bit_dropout_vjp.defvjp(_bd_fwd, _bd_bwd)
 
 
+def _fmix32(h: jax.Array) -> jax.Array:
+    """MurmurHash3 32-bit finalizer — full avalanche on u32 (public domain
+    constants). Pure VPU elementwise ops; fuses into any consumer."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _linear_index_u32(shape: tuple[int, ...]) -> jax.Array:
+    """Global element index as u32, built from per-dim iotas (XLA generates
+    iota directly in the consumer's layout — no materialized buffer)."""
+    total = None
+    stride = 1
+    for d in reversed(range(len(shape))):
+        part = jax.lax.broadcasted_iota(jnp.uint32, shape, d)
+        if stride != 1:
+            part = part * jnp.uint32(stride)
+        total = part if total is None else total + part
+        stride *= shape[d]
+    return total
+
+
+def _hash_mask(kw: jax.Array, x: jax.Array, cut: int, keep_prob: float):
+    """Counter-based mask: h = fmix32(fmix32(idx ^ k0) ^ k1), keep when the
+    low byte clears the threshold. Unlike an rng-bit-generator draw this has
+    NO layout of its own — the whole mask computation happens elementwise in
+    the consumer's layout and fuses into the multiply, eliminating the
+    full-activation-sized relayout copies the u8 rbg masks cost (~0.95 ms
+    EACH for the three 32x144x256x64 masks per headline step; measured in
+    benchmarks/trace_breakdown.py)."""
+    h = _fmix32(_linear_index_u32(x.shape) ^ kw[0])
+    h = _fmix32(h ^ kw[1])
+    keep = (h & jnp.uint32(0xFF)) >= jnp.uint32(cut)
+    scale = jnp.asarray(1.0 / keep_prob, x.dtype)
+    return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _hash_dropout_vjp(kw: jax.Array, x: jax.Array, rate: float) -> jax.Array:
+    cut = round(rate * 256.0)
+    return _hash_mask(kw, x, cut, (256 - cut) / 256.0)
+
+
+def _hd_fwd(kw, x, rate):
+    cut = round(rate * 256.0)
+    # Residual is only the two key words; the backward recomputes the mask.
+    return _hash_mask(kw, x, cut, (256 - cut) / 256.0), kw
+
+
+def _hd_bwd(rate, kw, g):
+    cut = round(rate * 256.0)
+    return (None, _hash_mask(kw, g, cut, (256 - cut) / 256.0))
+
+
+_hash_dropout_vjp.defvjp(_hd_fwd, _hd_bwd)
+
+
+def hash_dropout(key: jax.Array, x: jax.Array, rate: float) -> jax.Array:
+    """Inverted dropout with counter-based (stateless-hash) masks.
+
+    Same iid-Bernoulli semantics and rate quantization as bit_dropout, but
+    the mask is a pure function of (key, element index) computed inline:
+    two murmur3-finalizer rounds over the element's linear index mixed with
+    two key-derived words. Avalanche quality is statistically validated in
+    tests/test_bitdropout.py (mean, per-axis neighbor correlation, key
+    decorrelation). The only memory the mask ever touches is the fused
+    consumer's — no rng buffer, no relayout copy, and the backward pass
+    recomputes instead of storing (custom VJP)."""
+    if rate <= 0.0 or round(rate * 256.0) <= 0:
+        return x
+    if round(rate * 256.0) >= 256:
+        return jnp.zeros_like(x)
+    kw = jax.random.bits(key, (2,), jnp.uint32)  # scalar-sized draw
+    return _hash_dropout_vjp(kw, x, rate)
+
+
 def bit_dropout(key: jax.Array, x: jax.Array, rate: float) -> jax.Array:
     """Inverted dropout from uint8 random bytes (train mode).
 
@@ -82,15 +161,18 @@ def bit_dropout(key: jax.Array, x: jax.Array, rate: float) -> jax.Array:
 
 
 class BitDropout(fnn.Module):
-    """Drop-in replacement for flax.linen.Dropout using bit-packed masks.
+    """Drop-in replacement for flax.linen.Dropout using byte-threshold
+    ("bits") or counter-hash ("hash") masks.
 
     Uses the same "dropout" RNG collection (flax folds the module path into
     make_rng, so every instance draws an independent stream)."""
 
     rate: float
+    mode: str = "bits"  # "bits" (u8 rng draw) | "hash" (inline counter hash)
 
     @fnn.compact
     def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
         if deterministic or self.rate <= 0.0:
             return x
-        return bit_dropout(self.make_rng("dropout"), x, self.rate)
+        fn = hash_dropout if self.mode == "hash" else bit_dropout
+        return fn(self.make_rng("dropout"), x, self.rate)

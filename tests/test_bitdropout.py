@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from imagegeneration_tpu.ops.bitdropout import BitDropout, bit_dropout
+from imagegeneration_tpu.ops.bitdropout import BitDropout, bit_dropout, hash_dropout
 
 
 def test_keep_rate_matches_quantized_probability():
@@ -54,6 +54,77 @@ def test_deterministic_per_key():
     c = np.asarray(bit_dropout(jax.random.key(4), x, 0.5))
     np.testing.assert_array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def test_hash_keep_rate_matches_quantized_probability():
+    key = jax.random.key(0)
+    x = jnp.ones((512, 512), jnp.float32)
+    for rate in (0.5, 0.25, 0.1, 0.73):
+        y = np.asarray(hash_dropout(key, x, rate))
+        cut = round(rate * 256)
+        keep_prob = (256 - cut) / 256
+        frac_kept = float((y != 0).mean())
+        assert frac_kept == pytest.approx(keep_prob, abs=5e-3), rate
+        kept_vals = y[y != 0]
+        np.testing.assert_allclose(kept_vals, 1.0 / keep_prob, rtol=1e-6)
+        assert float(y.mean()) == pytest.approx(1.0, abs=2e-2), rate
+
+
+def test_hash_rate_edges():
+    key = jax.random.key(1)
+    x = jnp.ones((64, 64))
+    np.testing.assert_array_equal(np.asarray(hash_dropout(key, x, 0.0)), 1.0)
+    np.testing.assert_array_equal(np.asarray(hash_dropout(key, x, 1.0)), 0.0)
+
+
+def test_hash_avalanche_no_neighbor_correlation():
+    """The mask is a hash of the LINEAR element index, so the statistical
+    risk is structure along the index: adjacent elements (last axis), rows
+    (stride W), and planes (stride H*W) differ by small/regular index deltas.
+    Murmur3 finalizer avalanche must decorrelate all of them.
+
+    Pearson |r| between neighboring keep-bits in a 32x64x64 mask is binomial
+    noise ~1/sqrt(n) ~ 3e-3 at n=131k if independent; assert < 0.02."""
+    key = jax.random.key(42)
+    x = jnp.ones((32, 64, 64), jnp.float32)
+    m = (np.asarray(hash_dropout(key, x, 0.5)) != 0).astype(np.float64)
+    for axis in range(m.ndim):
+        a = np.moveaxis(m, axis, 0)
+        r = np.corrcoef(a[:-1].ravel(), a[1:].ravel())[0, 1]
+        assert abs(r) < 0.02, (axis, r)
+    # and no row/column keep-rate banding: per-slice keep fraction stays
+    # within binomial bounds (std = 0.5/sqrt(4096) ~ 0.008 per 64x64 slice)
+    per_slice = m.mean(axis=(1, 2))
+    assert per_slice.std() < 0.03
+
+
+def test_hash_key_decorrelation_and_determinism():
+    x = jnp.ones((256, 256))
+    a = np.asarray(hash_dropout(jax.random.key(3), x, 0.5)) != 0
+    b = np.asarray(hash_dropout(jax.random.key(3), x, 0.5)) != 0
+    c = np.asarray(hash_dropout(jax.random.key(4), x, 0.5)) != 0
+    np.testing.assert_array_equal(a, b)
+    # masks from different keys agree on ~50% of positions (independent)
+    agree = float((a == c).mean())
+    assert 0.45 < agree < 0.55
+
+
+def test_hash_vjp_regenerates_identical_mask():
+    key = jax.random.key(7)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(128, 128)), jnp.float32)
+    y, vjp = jax.vjp(lambda t: hash_dropout(key, t, 0.5), x)
+    (gx,) = vjp(jnp.ones_like(y))
+    np.testing.assert_array_equal(np.asarray(y != 0), np.asarray(gx != 0))
+    np.testing.assert_allclose(np.asarray(gx)[np.asarray(gx) != 0], 2.0, rtol=1e-6)
+
+
+def test_hash_mode_module():
+    x = jnp.ones((64, 64))
+    y = BitDropout(rate=0.5, mode="hash").apply(
+        {}, x, deterministic=False, rngs={"dropout": jax.random.key(0)}
+    )
+    frac = float((np.asarray(y) != 0).mean())
+    assert frac == pytest.approx(0.5, abs=0.03)
 
 
 def test_module_independent_streams_per_site():

@@ -49,7 +49,8 @@ def test_sndcgan_step1_goldens_bitdropout():
 
     cfg = SNDCGANTrainConfig(
         model=SNDCGANConfig(image_size=(16, 16, 3), base_width=16,
-                            dropout_rate=0.25, dropout_bits=True),
+                            dropout_rate=0.25, dropout_bits=True,
+                            dropout_hash=False),
         batch_size=2, seed=62,
         dropout_impl="threefry",
     )
@@ -57,6 +58,29 @@ def test_sndcgan_step1_goldens_bitdropout():
     golden = {
         "d_loss": 1.423676, "d_loss_fake": 0.727721, "d_loss_real": 0.695955,
         "d_prob_fake": 0.516991, "d_prob_real": 0.498598, "g_loss": 0.689171,
+    }
+    for k, v in golden.items():
+        assert float(m[k]) == pytest.approx(v, **TOL), k
+
+
+def test_sndcgan_step1_goldens_hashdropout():
+    """Semantics pin for the counter-hash dropout path (the new default;
+    again its own mask stream, so its own recorded values)."""
+    from imagegeneration_tpu.models.sndcgan import SNDCGANConfig
+    from imagegeneration_tpu.train.sndcgan_step import (
+        SNDCGANTrainConfig, init_state, make_train_step,
+    )
+
+    cfg = SNDCGANTrainConfig(
+        model=SNDCGANConfig(image_size=(16, 16, 3), base_width=16,
+                            dropout_rate=0.25),
+        batch_size=2, seed=62,
+        dropout_impl="threefry",
+    )
+    _, m = jax.jit(make_train_step(cfg))(init_state(cfg), _batch((2, 16, 16, 3), 2024))
+    golden = {
+        "d_loss": 1.41617, "d_loss_fake": 0.728507, "d_loss_real": 0.687664,
+        "d_prob_fake": 0.517368, "d_prob_real": 0.502749, "g_loss": 0.691282,
     }
     for k, v in golden.items():
         assert float(m[k]) == pytest.approx(v, **TOL), k
