@@ -64,6 +64,12 @@ class SNDCGANConfig:
     # benchmarks/trace_breakdown.py). Statistically validated in
     # tests/test_bitdropout.py; set False to restore the rng-buffer path.
     dropout_hash: bool = True
+    # Murmur3-finalizer rounds for the counter-hash masks: 1 halves the
+    # per-element VPU work (fmix32 is a full-avalanche finalizer on its
+    # own; the mask hash runs fwd + recomputed bwd over ~624M elements per
+    # headline step). Both settings pass the same statistical quality
+    # gates (tests/test_bitdropout.py).
+    dropout_hash_rounds: int = 1
     dtype: Any = jnp.float32
 
 
@@ -152,7 +158,11 @@ class Discriminator(fnn.Module):
             if cfg.dropout_bits:
                 x = BitDropout(
                     rate=cfg.dropout_rate,
-                    mode="hash" if cfg.dropout_hash else "bits",
+                    mode=(
+                        ("hash1" if cfg.dropout_hash_rounds == 1 else "hash")
+                        if cfg.dropout_hash
+                        else "bits"
+                    ),
                 )(x, deterministic=not train)
             else:
                 x = fnn.Dropout(rate=cfg.dropout_rate, deterministic=not train)(x)

@@ -105,6 +105,197 @@ class Conv(fnn.Module):
         )(x)
 
 
+def _conv_transpose_same_pad(k: int, s: int) -> int:
+    """Left pad lax.conv_transpose uses for SAME (out = in * stride).
+
+    Same arithmetic as jax's _conv_transpose_padding: pad_len = k + s - 2,
+    left = k - 1 if s > k - 1 else ceil(pad_len / 2)."""
+    if s > k - 1:
+        return k - 1
+    return -((k + s - 2) // -2)
+
+
+def _phase_dim(k: int, pl: int, d: int) -> tuple[int, int, int]:
+    """(a0, left_pad, taps) for output phase d of a stride-2 ConvT dim.
+
+    y[2u+d] = sum_j W[a0+2j] * x[u + off + j], off = (d+a0-pl)//2;
+    as a stride-1 conv: left pad = -off, right pad = taps-1+off."""
+    a0 = (pl - d) % 2
+    taps = len(range(a0, k, 2))
+    off = (d + a0 - pl) // 2
+    return a0, -off, taps
+
+
+def _conv_transpose2_hybrid(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Stride-2 SAME ConvTranspose with a reverse-free dW.
+
+    Forward and dx use XLA's own lowerings (lax.conv_transpose's base-dilated
+    conv — efficient on TPU; the full 2x2-phase decomposition was measured
+    7 ms/step SLOWER end-to-end, see _PhaseConvTranspose2). Only dW is
+    overridden: XLA canonicalizes the dW conv of a base-dilated conv into a
+    backward-filter conv with window reversal, materializing a spatially
+    reversed copy of the incoming cotangent (trace: %reverse.2, 0.92 ms/step
+    for the 151 MB bf16[32,144,256,64] dy at the SNDCGAN up2 block). Per
+    output phase d, the layer is a stride-1 conv with tap subset
+    W[a0::2] over a shifted x window, so dW[a0h::2, a0w::2] is the plain
+    (undilated, reverse-free) backward-filter conv of x against the strided
+    slice dy[:, dh::2, dw::2, :]; the four phase dWs scatter into disjoint
+    kernel taps. Same products per dW element as the builtin rule (fp
+    reassociation deltas only); forward/dx bit-identical to lax.
+    Exactness pinned in tests/test_layers_convt.py.
+    """
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    pl_h = _conv_transpose_same_pad(kh, 2)
+    pl_w = _conv_transpose_same_pad(kw, 2)
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def _fwd(x, w):
+        return jax.lax.conv_transpose(
+            x, w, strides=(2, 2), padding="SAME", dimension_numbers=dn,
+            transpose_kernel=False,
+        )
+
+    @jax.custom_vjp
+    def f(x, w):
+        return _fwd(x, w)
+
+    def f_fwd(x, w):
+        return _fwd(x, w), (x, w)
+
+    def f_bwd(res, dy):
+        x, w = res
+        _, vjp_x = jax.vjp(lambda t: _fwd(t, w), x)
+        (dx,) = vjp_x(dy)
+        dw = jnp.zeros(w.shape, dy.dtype)
+        for dh in (0, 1):
+            a0h, plh, th = _phase_dim(kh, pl_h, dh)
+            for dv in (0, 1):
+                a0w, plw, tw = _phase_dim(kw, pl_w, dv)
+                pad = ((plh, th - 1 - plh), (plw, tw - 1 - plw))
+                _, vjp_w = jax.vjp(
+                    lambda wp: jax.lax.conv_general_dilated(
+                        x, wp, window_strides=(1, 1), padding=pad,
+                        dimension_numbers=dn,
+                    ),
+                    w[a0h::2, a0w::2],
+                )
+                (dwp,) = vjp_w(dy[:, dh::2, dv::2, :])
+                dw = dw.at[a0h::2, a0w::2].set(dwp)
+        return dx, dw.astype(w.dtype)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x, kernel)
+
+
+class _HybridConvTranspose2(fnn.Module):
+    """Flax wrapper for _conv_transpose2_hybrid with the fnn.ConvTranspose
+    parameter path/shape ((kh, kw, cin, cout), unflipped)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    use_bias: bool = True
+    kernel_init: Callable = KERAS_GLOROT_UNIFORM
+    dtype: Dtype | None = None
+    param_dtype: Dtype = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param(
+                "bias", jax.nn.initializers.zeros, (self.features,),
+                self.param_dtype,
+            )
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = fnn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        y = _conv_transpose2_hybrid(x, kernel)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+class _PhaseConvTranspose2(fnn.Module):
+    """Stride-2 SAME ConvTranspose as a 2x2-phase (subpixel) decomposition.
+
+    lax.conv_transpose lowers to a conv with lhs_dilation=2; on TPU, XLA's
+    backward-filter canonicalization of that base-dilated conv materializes a
+    spatially-REVERSED copy of the incoming cotangent (trace: 0.92 ms/step
+    for the 151 MB bf16[32,144,256,64] dy at the SNDCGAN up2 block alone,
+    benchmarks/README.md). Decomposing by output phase removes lhs_dilation
+    from the program entirely: output pixel (2u+dh, 2v+dw) touches only the
+    kernel taps with matching parity, so the layer is exactly four stride-1
+    convs with the tap subsets W[a0h::2, a0w::2] followed by a
+    depth-to-space interleave — same products per output element (tiny fp
+    reassociation deltas only), plain reverse-free conv gradients, and
+    MXU-friendly contractions. Exactness vs the lax lowering is pinned in
+    tests/test_layers_convt.py.
+
+    Parameter path/shape is identical to fnn.ConvTranspose ((kh, kw, cin,
+    cout), unflipped) so checkpoints and the Keras weights importer are
+    unaffected.
+    """
+
+    features: int
+    kernel_size: tuple[int, int]
+    use_bias: bool = True
+    kernel_init: Callable = KERAS_GLOROT_UNIFORM
+    dtype: Dtype | None = None
+    param_dtype: Dtype = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, cin, self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param(
+                "bias", jax.nn.initializers.zeros, (self.features,),
+                self.param_dtype,
+            )
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = fnn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        pl_h = _conv_transpose_same_pad(kh, 2)
+        pl_w = _conv_transpose_same_pad(kw, 2)
+        n, ih, iw, _ = x.shape
+
+        phases = []
+        for dh in (0, 1):
+            a0h, plh, th = _phase_dim(kh, pl_h, dh)
+            for dw in (0, 1):
+                a0w, plw, tw = _phase_dim(kw, pl_w, dw)
+                wp = kernel[a0h::2, a0w::2]
+                yp = jax.lax.conv_general_dilated(
+                    x, wp, window_strides=(1, 1),
+                    padding=((plh, th - 1 - plh), (plw, tw - 1 - plw)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                phases.append(yp)
+        # interleave: y[n, 2u+dh, 2v+dw, o] = phases[2*dh+dw][n, u, v, o]
+        y = jnp.stack(phases, axis=3)  # (n, ih, iw, 4, o)
+        y = y.reshape(n, ih, iw, 2, 2, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, 2 * ih, 2 * iw, self.features
+        )
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class ConvTranspose(fnn.Module):
     """2D transposed convolution, NHWC, SAME padding => out = in * stride.
 
@@ -114,6 +305,9 @@ class ConvTranspose(fnn.Module):
     (fractionally-strided conv) — architecturally equivalent to Keras's
     gradient-of-conv formulation (same output shape and parameter count;
     kernels are learned so the orientation difference is immaterial).
+    Stride-1 and stride-2 SAME cases take exact reverse-free lowerings
+    (plain conv / phase decomposition — see _PhaseConvTranspose2);
+    set IMAGEGEN_CONVT_IMPL=lax to force the generic lowering for A/B.
     """
 
     features: int
@@ -127,6 +321,65 @@ class ConvTranspose(fnn.Module):
 
     @fnn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
+        impl = os.environ.get("IMAGEGEN_CONVT_IMPL", "lax")
+        generic = impl not in ("phase", "hybrid")
+        if self.strides == (2, 2) and self.padding == "SAME" and not generic:
+            # Two measured A/B levers, both exact (tests/test_layers_convt.py)
+            # and both LOSING or tying XLA's dilated-conv lowering at the
+            # headline config, so neither is default:
+            # - "hybrid": lax fwd/dx + reverse-free per-phase dW. Removes the
+            #   0.92 ms %reverse.2 the builtin dW rule materializes, but the
+            #   four per-phase backward-filter convs cost the same back:
+            #   46.77 vs 46.84 ms/step resident — a wash.
+            # - "phase": full 2x2 phase decomposition (four 2-tap-per-dim
+            #   stride-1 convs + depth-to-space). 7 ms/step SLOWER (53.9 vs
+            #   46.8): the small-tap convs + interleave lose more MXU
+            #   efficiency than the reverses cost.
+            mod = (
+                _PhaseConvTranspose2 if impl == "phase" else _HybridConvTranspose2
+            )
+            return mod(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                use_bias=self.use_bias,
+                kernel_init=self.kernel_init,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="ConvTranspose_0",
+            )(x)
+        if (
+            not generic
+            and self.strides == (1, 1)
+            and self.padding == "SAME"
+            and self.kernel_size[0] % 2 == 1
+            and self.kernel_size[1] % 2 == 1
+        ):
+            # A stride-1 SAME odd-kernel ConvTranspose (transpose_kernel=False,
+            # flax's default: lax.conv_transpose == conv_general_dilated with
+            # lhs_dilation=1, unflipped kernel) is EXACTLY a plain conv with
+            # the same (kh, kw, cin, cout) kernel — but XLA's transpose rule
+            # for conv_transpose computes dW by spatially REVERSING the input
+            # activation, which at the generator's to_rgb materialized a
+            # 151 MB bf16[32,144,256,64] reverse costing 0.92 ms/step
+            # (trace-measured, benchmarks/README.md). Lowering the s1 case to
+            # fnn.Conv keeps identical forward numerics and the identical
+            # parameter path (explicit name below), and gets the standard
+            # reverse-free conv gradient. Exactness pinned in
+            # tests/test_layers_convt.py.
+            return fnn.Conv(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                strides=(1, 1),
+                padding="SAME",
+                use_bias=self.use_bias,
+                kernel_init=self.kernel_init,
+                bias_init=jax.nn.initializers.zeros,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="ConvTranspose_0",
+            )(x)
         return fnn.ConvTranspose(
             features=self.features,
             kernel_size=self.kernel_size,

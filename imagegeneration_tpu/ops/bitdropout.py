@@ -85,58 +85,75 @@ def _linear_index_u32(shape: tuple[int, ...]) -> jax.Array:
     return total
 
 
-def _hash_mask(kw: jax.Array, x: jax.Array, cut: int, keep_prob: float):
-    """Counter-based mask: h = fmix32(fmix32(idx ^ k0) ^ k1), keep when the
-    low byte clears the threshold. Unlike an rng-bit-generator draw this has
-    NO layout of its own — the whole mask computation happens elementwise in
-    the consumer's layout and fuses into the multiply, eliminating the
+def _hash_mask(
+    kw: jax.Array, x: jax.Array, cut: int, keep_prob: float, rounds: int = 2
+):
+    """Counter-based mask, keep when the hash's low byte clears the
+    threshold. Unlike an rng-bit-generator draw this has NO layout of its
+    own — the whole mask computation happens elementwise in the consumer's
+    layout and fuses into the multiply, eliminating the
     full-activation-sized relayout copies the u8 rbg masks cost (~0.95 ms
     EACH for the three 32x144x256x64 masks per headline step; measured in
-    benchmarks/trace_breakdown.py)."""
+    benchmarks/trace_breakdown.py).
+
+    rounds=2: h = fmix32(fmix32(idx ^ k0) ^ k1) (extra-conservative).
+    rounds=1: h = fmix32(idx ^ k0) + k1 — fmix32 IS murmur3's full-avalanche
+    finalizer on its own (every output bit depends on every input bit; the
+    double application was belt-and-braces); the second key word only
+    rotates the threshold byte after avalanche. Halves the per-element VPU
+    work: mask compute runs in fwd AND (recomputed, custom VJP) bwd over
+    ~624M mask elements per headline step, so the hash is a measurable
+    device-time line item. Quality gates in tests/test_bitdropout.py (keep
+    rate, neighbor/key decorrelation) cover both."""
     h = _fmix32(_linear_index_u32(x.shape) ^ kw[0])
-    h = _fmix32(h ^ kw[1])
+    h = _fmix32(h ^ kw[1]) if rounds == 2 else h + kw[1]
     keep = (h & jnp.uint32(0xFF)) >= jnp.uint32(cut)
     scale = jnp.asarray(1.0 / keep_prob, x.dtype)
     return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _hash_dropout_vjp(kw: jax.Array, x: jax.Array, rate: float) -> jax.Array:
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _hash_dropout_vjp(
+    kw: jax.Array, x: jax.Array, rate: float, rounds: int
+) -> jax.Array:
     cut = round(rate * 256.0)
-    return _hash_mask(kw, x, cut, (256 - cut) / 256.0)
+    return _hash_mask(kw, x, cut, (256 - cut) / 256.0, rounds)
 
 
-def _hd_fwd(kw, x, rate):
+def _hd_fwd(kw, x, rate, rounds):
     cut = round(rate * 256.0)
     # Residual is only the two key words; the backward recomputes the mask.
-    return _hash_mask(kw, x, cut, (256 - cut) / 256.0), kw
+    return _hash_mask(kw, x, cut, (256 - cut) / 256.0, rounds), kw
 
 
-def _hd_bwd(rate, kw, g):
+def _hd_bwd(rate, rounds, kw, g):
     cut = round(rate * 256.0)
-    return (None, _hash_mask(kw, g, cut, (256 - cut) / 256.0))
+    return (None, _hash_mask(kw, g, cut, (256 - cut) / 256.0, rounds))
 
 
 _hash_dropout_vjp.defvjp(_hd_fwd, _hd_bwd)
 
 
-def hash_dropout(key: jax.Array, x: jax.Array, rate: float) -> jax.Array:
+def hash_dropout(
+    key: jax.Array, x: jax.Array, rate: float, rounds: int = 2
+) -> jax.Array:
     """Inverted dropout with counter-based (stateless-hash) masks.
 
     Same iid-Bernoulli semantics and rate quantization as bit_dropout, but
     the mask is a pure function of (key, element index) computed inline:
-    two murmur3-finalizer rounds over the element's linear index mixed with
-    two key-derived words. Avalanche quality is statistically validated in
-    tests/test_bitdropout.py (mean, per-axis neighbor correlation, key
-    decorrelation). The only memory the mask ever touches is the fused
-    consumer's — no rng buffer, no relayout copy, and the backward pass
-    recomputes instead of storing (custom VJP)."""
+    murmur3-finalizer round(s) over the element's linear index mixed with
+    two key-derived words (see _hash_mask for the rounds trade-off).
+    Avalanche quality is statistically validated in tests/test_bitdropout.py
+    (mean, per-axis neighbor correlation, key decorrelation). The only
+    memory the mask ever touches is the fused consumer's — no rng buffer,
+    no relayout copy, and the backward pass recomputes instead of storing
+    (custom VJP)."""
     if rate <= 0.0 or round(rate * 256.0) <= 0:
         return x
     if round(rate * 256.0) >= 256:
         return jnp.zeros_like(x)
     kw = jax.random.bits(key, (2,), jnp.uint32)  # scalar-sized draw
-    return _hash_dropout_vjp(kw, x, rate)
+    return _hash_dropout_vjp(kw, x, rate, rounds)
 
 
 def bit_dropout(key: jax.Array, x: jax.Array, rate: float) -> jax.Array:
@@ -168,11 +185,17 @@ class BitDropout(fnn.Module):
     make_rng, so every instance draws an independent stream)."""
 
     rate: float
-    mode: str = "bits"  # "bits" (u8 rng draw) | "hash" (inline counter hash)
+    # "bits" (u8 rng draw) | "hash" (2-round counter hash) | "hash1"
+    # (1-round counter hash — half the VPU work, same quality gates)
+    mode: str = "bits"
 
     @fnn.compact
     def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
         if deterministic or self.rate <= 0.0:
             return x
-        fn = hash_dropout if self.mode == "hash" else bit_dropout
-        return fn(self.make_rng("dropout"), x, self.rate)
+        key = self.make_rng("dropout")
+        if self.mode == "hash":
+            return hash_dropout(key, x, self.rate, rounds=2)
+        if self.mode == "hash1":
+            return hash_dropout(key, x, self.rate, rounds=1)
+        return bit_dropout(key, x, self.rate)

@@ -13,7 +13,12 @@ import optax
 KERAS_EPS = 1e-7
 
 
-def adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999) -> optax.GradientTransformation:
+def adam(
+    learning_rate: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    moment_dtype: Any | None = None,
+) -> optax.GradientTransformation:
     """Adam matching tf.keras EXACTLY (sndcgan/SNDCGAN.py:165,168;
     cyclegan/CycleGAN.py:229-233 uses b1=0.5).
 
@@ -23,28 +28,47 @@ def adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999) -> optax.Grad
     sqrt(1-b2^t)-times-smaller epsilon early in training. The difference is
     real: with eps=1e-7 it shifts small-|grad| coordinates enough to move
     3-step losses by ~1% (caught by tests/test_reference_parity.py, which
-    pins our trajectory against the reference's own executed train_step)."""
+    pins our trajectory against the reference's own executed train_step).
+
+    `moment_dtype` stores m/v in a reduced dtype (e.g. bfloat16) to cut the
+    optimizer's HBM traffic; all arithmetic stays f32 (moments are upcast,
+    updated, and rounded back each step). Default None keeps moments in the
+    params' dtype (f32 everywhere in this repo — the faithful path). The
+    trace-measured motivation: the Adam applies fuse into the dW fusions,
+    whose cost is the f32 read+write of p/m/v (e.g. the 37.7M-param stem
+    Dense's divide_add_fusion at 1.35 ms/step, benchmarks/README.md)."""
+
+    def _moment_zeros(p):
+        dt = moment_dtype if moment_dtype is not None else p.dtype
+        return jnp.zeros(p.shape, dt)
 
     def init(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
         return optax.ScaleByAdamState(
-            count=jnp.zeros((), jnp.int32), mu=zeros,
-            nu=jax.tree.map(jnp.zeros_like, params),
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree.map(_moment_zeros, params),
+            nu=jax.tree.map(_moment_zeros, params),
         )
 
     def update(grads, state, params=None):
         del params
         count = optax.safe_increment(state.count)
-        mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, grads)
-        nu = jax.tree.map(
-            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g), state.nu, grads
+        mu32 = jax.tree.map(
+            lambda m, g: b1 * m.astype(jnp.float32) + (1.0 - b1) * g,
+            state.mu, grads,
+        )
+        nu32 = jax.tree.map(
+            lambda v, g: b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(g),
+            state.nu, grads,
         )
         t = count.astype(jnp.float32)
         alpha = learning_rate * jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
         updates = jax.tree.map(
-            lambda m, v: -alpha * m / (jnp.sqrt(v) + KERAS_EPS), mu, nu
+            lambda m, v: -alpha * m / (jnp.sqrt(v) + KERAS_EPS), mu32, nu32
         )
-        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+        if moment_dtype is not None:
+            mu32 = jax.tree.map(lambda m: m.astype(moment_dtype), mu32)
+            nu32 = jax.tree.map(lambda v: v.astype(moment_dtype), nu32)
+        return updates, optax.ScaleByAdamState(count=count, mu=mu32, nu=nu32)
 
     return optax.GradientTransformation(init, update)
 

@@ -71,13 +71,26 @@ class SNDCGANTrainConfig:
     # step was measured at 56% of the whole train step (94 -> 55 ms/step at
     # 256x144 bs32). "threefry" restores the default-jax stream.
     dropout_impl: str = "rbg"
+    # Adam m/v storage dtype: "f32" (faithful; exact Keras trajectory) or
+    # "bf16" (halves optimizer HBM traffic; the applies fuse into the dW
+    # fusions whose cost is p/m/v read+write — see common.adam). Update
+    # arithmetic is f32 either way.
+    opt_moments: str = "f32"
     seed: int = rnglib.DEFAULT_MODEL_SEED
 
 
 def build(cfg: SNDCGANTrainConfig):
     """Returns (generator, discriminator, g_tx, d_tx)."""
     gen, disc = sndcgan.make_models(cfg.model)
-    return gen, disc, common.adam(cfg.lr_gen), common.adam(cfg.lr_disc)
+    if cfg.opt_moments not in ("f32", "bf16"):
+        raise ValueError(f"opt_moments must be 'f32' or 'bf16', got {cfg.opt_moments!r}")
+    mdt = jnp.bfloat16 if cfg.opt_moments == "bf16" else None
+    return (
+        gen,
+        disc,
+        common.adam(cfg.lr_gen, moment_dtype=mdt),
+        common.adam(cfg.lr_disc, moment_dtype=mdt),
+    )
 
 
 def init_state(cfg: SNDCGANTrainConfig) -> SNDCGANState:

@@ -56,11 +56,12 @@ def test_deterministic_per_key():
     assert not np.array_equal(a, c)
 
 
-def test_hash_keep_rate_matches_quantized_probability():
+@pytest.mark.parametrize("rounds", [1, 2])
+def test_hash_keep_rate_matches_quantized_probability(rounds):
     key = jax.random.key(0)
     x = jnp.ones((512, 512), jnp.float32)
     for rate in (0.5, 0.25, 0.1, 0.73):
-        y = np.asarray(hash_dropout(key, x, rate))
+        y = np.asarray(hash_dropout(key, x, rate, rounds=rounds))
         cut = round(rate * 256)
         keep_prob = (256 - cut) / 256
         frac_kept = float((y != 0).mean())
@@ -77,7 +78,8 @@ def test_hash_rate_edges():
     np.testing.assert_array_equal(np.asarray(hash_dropout(key, x, 1.0)), 0.0)
 
 
-def test_hash_avalanche_no_neighbor_correlation():
+@pytest.mark.parametrize("rounds", [1, 2])
+def test_hash_avalanche_no_neighbor_correlation(rounds):
     """The mask is a hash of the LINEAR element index, so the statistical
     risk is structure along the index: adjacent elements (last axis), rows
     (stride W), and planes (stride H*W) differ by small/regular index deltas.
@@ -87,7 +89,7 @@ def test_hash_avalanche_no_neighbor_correlation():
     noise ~1/sqrt(n) ~ 3e-3 at n=131k if independent; assert < 0.02."""
     key = jax.random.key(42)
     x = jnp.ones((32, 64, 64), jnp.float32)
-    m = (np.asarray(hash_dropout(key, x, 0.5)) != 0).astype(np.float64)
+    m = (np.asarray(hash_dropout(key, x, 0.5, rounds=rounds)) != 0).astype(np.float64)
     for axis in range(m.ndim):
         a = np.moveaxis(m, axis, 0)
         r = np.corrcoef(a[:-1].ravel(), a[1:].ravel())[0, 1]
@@ -98,29 +100,32 @@ def test_hash_avalanche_no_neighbor_correlation():
     assert per_slice.std() < 0.03
 
 
-def test_hash_key_decorrelation_and_determinism():
+@pytest.mark.parametrize("rounds", [1, 2])
+def test_hash_key_decorrelation_and_determinism(rounds):
     x = jnp.ones((256, 256))
-    a = np.asarray(hash_dropout(jax.random.key(3), x, 0.5)) != 0
-    b = np.asarray(hash_dropout(jax.random.key(3), x, 0.5)) != 0
-    c = np.asarray(hash_dropout(jax.random.key(4), x, 0.5)) != 0
+    a = np.asarray(hash_dropout(jax.random.key(3), x, 0.5, rounds=rounds)) != 0
+    b = np.asarray(hash_dropout(jax.random.key(3), x, 0.5, rounds=rounds)) != 0
+    c = np.asarray(hash_dropout(jax.random.key(4), x, 0.5, rounds=rounds)) != 0
     np.testing.assert_array_equal(a, b)
     # masks from different keys agree on ~50% of positions (independent)
     agree = float((a == c).mean())
     assert 0.45 < agree < 0.55
 
 
-def test_hash_vjp_regenerates_identical_mask():
+@pytest.mark.parametrize("rounds", [1, 2])
+def test_hash_vjp_regenerates_identical_mask(rounds):
     key = jax.random.key(7)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(128, 128)), jnp.float32)
-    y, vjp = jax.vjp(lambda t: hash_dropout(key, t, 0.5), x)
+    y, vjp = jax.vjp(lambda t: hash_dropout(key, t, 0.5, rounds=rounds), x)
     (gx,) = vjp(jnp.ones_like(y))
     np.testing.assert_array_equal(np.asarray(y != 0), np.asarray(gx != 0))
     np.testing.assert_allclose(np.asarray(gx)[np.asarray(gx) != 0], 2.0, rtol=1e-6)
 
 
-def test_hash_mode_module():
+@pytest.mark.parametrize("mode", ["hash", "hash1"])
+def test_hash_mode_module(mode):
     x = jnp.ones((64, 64))
-    y = BitDropout(rate=0.5, mode="hash").apply(
+    y = BitDropout(rate=0.5, mode=mode).apply(
         {}, x, deterministic=False, rngs={"dropout": jax.random.key(0)}
     )
     frac = float((np.asarray(y) != 0).mean())

@@ -63,9 +63,28 @@ def test_sndcgan_step1_goldens_bitdropout():
         assert float(m[k]) == pytest.approx(v, **TOL), k
 
 
-def test_sndcgan_step1_goldens_hashdropout():
-    """Semantics pin for the counter-hash dropout path (the new default;
-    again its own mask stream, so its own recorded values)."""
+@pytest.mark.parametrize(
+    "rounds,golden",
+    [
+        # 2-round stream (round-2 default; values recorded then)
+        (2, {
+            "d_loss": 1.41617, "d_loss_fake": 0.728507,
+            "d_loss_real": 0.687664, "d_prob_fake": 0.517368,
+            "d_prob_real": 0.502749, "g_loss": 0.691282,
+        }),
+        # 1-round stream (round-3 default: half the mask VPU work,
+        # same quality gates — see ops/bitdropout._hash_mask)
+        (1, {
+            "d_loss": 1.415125, "d_loss_fake": 0.729010,
+            "d_loss_real": 0.686115, "d_prob_fake": 0.517613,
+            "d_prob_real": 0.503528, "g_loss": 0.686828,
+        }),
+    ],
+)
+def test_sndcgan_step1_goldens_hashdropout(rounds, golden):
+    """Semantics pin for the counter-hash dropout path (the default;
+    each rounds setting is its own mask stream, so its own recorded
+    values)."""
     from imagegeneration_tpu.models.sndcgan import SNDCGANConfig
     from imagegeneration_tpu.train.sndcgan_step import (
         SNDCGANTrainConfig, init_state, make_train_step,
@@ -73,15 +92,11 @@ def test_sndcgan_step1_goldens_hashdropout():
 
     cfg = SNDCGANTrainConfig(
         model=SNDCGANConfig(image_size=(16, 16, 3), base_width=16,
-                            dropout_rate=0.25),
+                            dropout_rate=0.25, dropout_hash_rounds=rounds),
         batch_size=2, seed=62,
         dropout_impl="threefry",
     )
     _, m = jax.jit(make_train_step(cfg))(init_state(cfg), _batch((2, 16, 16, 3), 2024))
-    golden = {
-        "d_loss": 1.41617, "d_loss_fake": 0.728507, "d_loss_real": 0.687664,
-        "d_prob_fake": 0.517368, "d_prob_real": 0.502749, "g_loss": 0.691282,
-    }
     for k, v in golden.items():
         assert float(m[k]) == pytest.approx(v, **TOL), k
 
