@@ -38,7 +38,9 @@ def make_landscape(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
     # ground: darker base color + value-noise texture
     base = np.array([rng.uniform(0.1, 0.4), rng.uniform(0.3, 0.6),
                      rng.uniform(0.05, 0.3)])
-    coarse = rng.normal(0, 1, (max(2, (h - horizon) // 8), max(2, w // 8)))
+    # ceil-divide the coarse grid so kron always covers the full ground band
+    # (floor rounded (h - horizon)=50 down to 48 rows and broke broadcast)
+    coarse = rng.normal(0, 1, (max(2, -((h - horizon) // -8)), max(2, -(w // -8))))
     reps = (8, 8)
     tex = np.kron(coarse, np.ones(reps))[: h - horizon, :w]
     img[horizon:] = base + 0.08 * tex[..., None]

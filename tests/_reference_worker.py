@@ -27,6 +27,10 @@ def main() -> None:
     import tensorflow as tf
 
     tf.config.set_visible_devices([], "GPU")
+    # One TF thread => one reduction order (see _reference_worker_cyclegan;
+    # thread-pool splits under CPU load flip near-cancelling gradient sums).
+    tf.config.threading.set_intra_op_parallelism_threads(1)
+    tf.config.threading.set_inter_op_parallelism_threads(1)
     import SNDCGAN as ref  # the reference module, executed as-is
 
     H, W = 48, 80

@@ -69,6 +69,14 @@ def main() -> None:
     import tensorflow as tf
 
     tf.config.set_visible_devices([], "GPU")
+    # Pin TF to one thread: under full-suite CPU contention TF's thread pool
+    # splits reductions differently run-to-run, which flips the sign of
+    # near-cancelling gradient sums and moves isolated coordinates by a full
+    # Adam sign-flip unit — the parity test's small-leaf bulk criterion then
+    # flakes with load (observed: res-block bias 93.4% vs 95% in-suite,
+    # passes in isolation). One thread = one reduction order.
+    tf.config.threading.set_intra_op_parallelism_threads(1)
+    tf.config.threading.set_inter_op_parallelism_threads(1)
     tf.random.set_seed(11)
     np.random.seed(13)
 

@@ -42,6 +42,10 @@ def main() -> None:
     import tensorflow as tf
 
     tf.config.set_visible_devices([], "GPU")
+    # One TF thread => one reduction order (see _reference_worker_cyclegan;
+    # thread-pool splits under CPU load flip near-cancelling gradient sums).
+    tf.config.threading.set_intra_op_parallelism_threads(1)
+    tf.config.threading.set_inter_op_parallelism_threads(1)
     tf.random.set_seed(62)  # the reference's own global seeds (SNDCGAN.py:21-22)
     np.random.seed(87)
 

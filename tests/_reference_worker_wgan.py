@@ -28,6 +28,10 @@ def main() -> None:
     import tensorflow as tf
 
     tf.config.set_visible_devices([], "GPU")
+    # One TF thread => one reduction order (see _reference_worker_cyclegan;
+    # thread-pool splits under CPU load flip near-cancelling gradient sums).
+    tf.config.threading.set_intra_op_parallelism_threads(1)
+    tf.config.threading.set_inter_op_parallelism_threads(1)
     import WGAN as ref
 
     H, W, B, Z = 48, 80, 4, 128

@@ -123,10 +123,17 @@ def test_cyclegan_trajectory_and_weights_parity(cyc_artifacts):
             assert float(resid.max()) < 8e-4, (
                 f"{key}: max residual {float(resid.max()):.2e}"
             )
-            frac_small = float(np.mean(resid < 1e-4))
-            assert frac_small > 0.95, (
-                f"{key}: only {100 * frac_small:.1f}% of coordinates within "
-                f"1e-4 — systematic, not sign-flip noise"
+            # Bulk criterion: sign-flip noise hits isolated coordinates, a
+            # semantic divergence moves them en masse. A pure fraction is
+            # statistically fragile on tiny leaves (a 128-coord bias allows
+            # only 6 flips; binomial noise crosses that), so allow
+            # max(5%, 8 coordinates) — still far below any systematic shift,
+            # which moves ALL coordinates of the affected leaf.
+            n_out = int(np.sum(resid >= 1e-4))
+            allowed = max(int(0.05 * resid.size), 8)
+            assert n_out <= allowed, (
+                f"{key}: {n_out}/{resid.size} coordinates off by >=1e-4 "
+                f"(allowed {allowed}) — systematic, not sign-flip noise"
             )
             checked += 1
         assert checked > 10
