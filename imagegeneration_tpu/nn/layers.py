@@ -222,6 +222,77 @@ class _HybridConvTranspose2(fnn.Module):
         return y
 
 
+class _PackedConvTranspose2(fnn.Module):
+    """Stride-2 SAME ConvTranspose as ONE stride-1 3x3 conv + depth-to-space.
+
+    Third lowering experiment (opt-in, IMAGEGEN_CONVT_IMPL=packed). The
+    full phase decomposition (_PhaseConvTranspose2) loses on four
+    small-tap convs; this variant embeds all four phases' tap subsets into
+    a single (3, 3, cin, 4*cout) kernel (each phase's taps W[a0::2, b0::2]
+    scattered at its alignment offset, zeros elsewhere), so the whole layer
+    is one MXU-friendly stride-1 SAME conv producing the 4 phases as
+    channel groups, interleaved to (2H, 2W) by a single reshape/transpose.
+    Works for the repo's kernels (3x3 and 4x4 at stride 2, where every
+    phase's taps fit a 3-wide support at left pad 1); the conv does 9/8 of
+    the minimal MACs (zero taps) in exchange for one large contraction and
+    plain reverse-free conv gradients. Exactness pinned in
+    tests/test_layers_convt.py."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    use_bias: bool = True
+    kernel_init: Callable = KERAS_GLOROT_UNIFORM
+    dtype: Dtype | None = None
+    param_dtype: Dtype = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        assert kh <= 4 and kw <= 4, "packed lowering supports k <= 4 at s=2"
+        cin, cout = x.shape[-1], self.features
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, cin, cout), self.param_dtype
+        )
+        bias = (
+            self.param(
+                "bias", jax.nn.initializers.zeros, (cout,), self.param_dtype
+            )
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = fnn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        pl_h = _conv_transpose_same_pad(kh, 2)
+        pl_w = _conv_transpose_same_pad(kw, 2)
+        n, ih, iw, _ = x.shape
+
+        # scatter each phase's taps into the shared 3x3 support: phase d
+        # reads x[u + off + j], the packed conv reads x[u - 1 + a], so tap j
+        # lands at a = off + j + 1 (0 <= a <= 2 for k in {3, 4} at s=2).
+        w3 = jnp.zeros((3, 3, cin, 4 * cout), kernel.dtype)
+        for dh in (0, 1):
+            a0h, plh, th = _phase_dim(kh, pl_h, dh)
+            for dv in (0, 1):
+                a0w, plw, tw = _phase_dim(kw, pl_w, dv)
+                p = 2 * dh + dv
+                taps = kernel[a0h::2, a0w::2]  # (th, tw, cin, cout)
+                ah, aw = 1 - plh, 1 - plw  # off + 1
+                w3 = w3.at[
+                    ah : ah + th, aw : aw + tw, :, p * cout : (p + 1) * cout
+                ].set(taps)
+
+        y = jax.lax.conv_general_dilated(
+            x, w3, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (n, ih, iw, 4*cout): channel block p = phase (dh, dw)
+        y = y.reshape(n, ih, iw, 2, 2, cout)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * ih, 2 * iw, cout)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class _PhaseConvTranspose2(fnn.Module):
     """Stride-2 SAME ConvTranspose as a 2x2-phase (subpixel) decomposition.
 
@@ -324,7 +395,7 @@ class ConvTranspose(fnn.Module):
         import os
 
         impl = os.environ.get("IMAGEGEN_CONVT_IMPL", "lax")
-        generic = impl not in ("phase", "hybrid")
+        generic = impl not in ("phase", "hybrid", "packed")
         if self.strides == (2, 2) and self.padding == "SAME" and not generic:
             # Two measured A/B levers, both exact (tests/test_layers_convt.py)
             # and both LOSING or tying XLA's dilated-conv lowering at the
@@ -337,9 +408,11 @@ class ConvTranspose(fnn.Module):
             #   stride-1 convs + depth-to-space). 7 ms/step SLOWER (53.9 vs
             #   46.8): the small-tap convs + interleave lose more MXU
             #   efficiency than the reverses cost.
-            mod = (
-                _PhaseConvTranspose2 if impl == "phase" else _HybridConvTranspose2
-            )
+            mod = {
+                "phase": _PhaseConvTranspose2,
+                "hybrid": _HybridConvTranspose2,
+                "packed": _PackedConvTranspose2,
+            }[impl]
             return mod(
                 features=self.features,
                 kernel_size=self.kernel_size,

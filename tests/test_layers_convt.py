@@ -57,7 +57,7 @@ def _ref_apply_s2(kernel, x, bias=None):
     return mod.apply({"params": params}, x)
 
 
-@pytest.mark.parametrize("impl", ["hybrid", "phase"])
+@pytest.mark.parametrize("impl", ["hybrid", "phase", "packed"])
 @pytest.mark.parametrize("ksize,odd_hw", [((4, 4), False), ((3, 3), True)])
 def test_s2_paths_match_conv_transpose_fwd_and_grad(ksize, odd_hw, impl, monkeypatch):
     """Hybrid (lax fwd/dx + reverse-free per-phase dW) and full phase
