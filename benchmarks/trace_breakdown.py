@@ -162,8 +162,11 @@ def main() -> None:
             continue
         name = e.get("name", "")
         dur = float(e.get("dur", 0.0))  # microseconds
-        # Skip whole-program envelope events (same name as the jit fn).
-        if name.startswith("jit_") or "train_step" in name:
+        # Skip whole-program envelope events: the jit fn's own span plus the
+        # per-iteration step lanes the profiler names "0", "1", ... — both
+        # double-count every HLO op inside them (they inflated "other" and
+        # total by ~2x before this filter).
+        if name.startswith("jit_") or "train_step" in name or name.isdigit():
             continue
         by_cat[categorize(name)] += dur
         by_op[name] += dur
