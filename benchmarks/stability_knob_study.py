@@ -75,7 +75,8 @@ def train_run(workdir: Path, data_dir: Path, name: str, d_updates: int,
 
 
 def fid_sweep(run_dir: Path, data_dir: Path, label: str,
-              extractor_dir: Path | None = None) -> dict[int, float]:
+              extractor_dir: Path | None = None,
+              step_size: int = 1) -> dict[int, float]:
     """Per-epoch mean FID for one run. extractor_dir overrides where the
     discriminator features come from (shared-extractor comparison)."""
     from imagegeneration_tpu.core.data import ImageFolderDataset
@@ -114,12 +115,12 @@ def fid_sweep(run_dir: Path, data_dir: Path, label: str,
         )
         results = ev.evaluate(
             dataset=ImageFolderDataset(str(data_dir), (144, 256), labeled=True),
-            batch_size=32, disc_epoch=9999,
+            batch_size=32, disc_epoch=9999, step_size=step_size,
         )
     else:
         results = ev.evaluate(
             dataset=ImageFolderDataset(str(data_dir), (144, 256), labeled=True),
-            batch_size=32,
+            batch_size=32, step_size=step_size,
         )
     ev.plot(results)
     return {e: float(np.mean(v)) for e, v in sorted(results.items())}
@@ -130,14 +131,21 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--n", type=int, default=2000)
     ap.add_argument("--workdir", default="/tmp/stability_study")
+    ap.add_argument("--fid-step", type=int, default=1,
+                    help="stride over exported epochs for the FID sweeps "
+                    "(CPU fallback: every Nth export)")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse existing runs, redo only the FID sweeps")
     args = ap.parse_args()
 
     import jax
 
-    from imagegeneration_tpu.core.platform import setup_compile_cache
+    from imagegeneration_tpu.core.platform import (
+        honor_env_platform,
+        setup_compile_cache,
+    )
 
+    honor_env_platform()  # JAX_PLATFORMS=cpu fallback works despite sitecustomize
     setup_compile_cache(jax)
 
     workdir = Path(args.workdir)
@@ -151,10 +159,12 @@ def main() -> None:
             run_dir = train_run(workdir, data_dir, name, d_updates, args.epochs)
         runs[name] = run_dir
 
-    own = {n: fid_sweep(runs[n], data_dir, "own") for n in runs}
+    own = {n: fid_sweep(runs[n], data_dir, "own", step_size=args.fid_step)
+           for n in runs}
     shared = {
         n: fid_sweep(runs[n], data_dir, "shared",
-                     extractor_dir=runs["faithful_d2"])
+                     extractor_dir=runs["faithful_d2"],
+                     step_size=args.fid_step)
         for n in runs
     }
 
