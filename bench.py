@@ -129,16 +129,22 @@ def bench_sndcgan() -> dict:
         .reshape(nb, batch_size)
         .astype(np.int32)
     )
-    runner = dp.jit_epoch_runner(make_epoch_runner(cfg), mesh=None, n_data=2)
-    rstate = init_state(cfg)
-    rstate, rmetrics = runner(rstate, imgs, perm)  # compile + warm
-    jax.block_until_ready(rmetrics)
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        rstate, rmetrics = runner(rstate, imgs, perm)
+    measured_path = "resident_scan_epoch"
+    try:
+        runner = dp.jit_epoch_runner(make_epoch_runner(cfg), mesh=None, n_data=2)
+        rstate = init_state(cfg)
+        rstate, rmetrics = runner(rstate, imgs, perm)  # compile + warm
         jax.block_until_ready(rmetrics)
-    steps_per_sec = reps * nb / (time.perf_counter() - t0)
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            rstate, rmetrics = runner(rstate, imgs, perm)
+            jax.block_until_ready(rmetrics)
+        steps_per_sec = reps * nb / (time.perf_counter() - t0)
+    except Exception as e:  # never lose the bench line to the fast path
+        print(f"[bench] resident scan failed ({e!r}); reporting dispatch loop")
+        measured_path = "per_step_dispatch"
+        steps_per_sec = dispatch_steps_per_sec
 
     # Secondary: sampled images/sec (generator_output path, fixed z). Long
     # window so tunnel-dispatch jitter doesn't dominate (~4 ms/batch).
@@ -170,7 +176,7 @@ def bench_sndcgan() -> dict:
         "sampled_images_per_sec": round(sampled_per_sec, 1),
         "step_tflop": round(flops / 1e12, 2),
         "mfu": round(mfu, 3),
-        "measured_path": "resident_scan_epoch",
+        "measured_path": measured_path,
         "dispatch_steps_per_sec": round(dispatch_steps_per_sec, 3),
         "device": str(jax.devices()[0].device_kind),
     }
