@@ -148,3 +148,40 @@ def test_module_independent_streams_per_site():
     x = jnp.ones((64, 64))
     a, b = m.apply({}, x, rngs={"dropout": jax.random.key(0)})
     assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_perf_relevant_defaults_pinned():
+    """The headline bench numbers assume these defaults; accidental drift
+    (a refactor flipping a flag) would silently change both perf and the
+    dropout mask stream."""
+    from imagegeneration_tpu.models.sndcgan import SNDCGANConfig
+    from imagegeneration_tpu.train.sndcgan_step import SNDCGANTrainConfig
+
+    m = SNDCGANConfig()
+    assert m.dropout_bits and m.dropout_hash and m.dropout_hash_rounds == 1
+    t = SNDCGANTrainConfig()
+    assert t.dropout_impl == "rbg" and t.opt_moments == "f32"
+
+
+def test_opt_moments_validation_and_bf16_state():
+    """opt_moments='bf16' stores Adam m/v in bfloat16 (update math f32);
+    invalid values are rejected at build time."""
+    import pytest as _pytest
+
+    from imagegeneration_tpu.models.sndcgan import SNDCGANConfig
+    from imagegeneration_tpu.train import sndcgan_step
+
+    cfg = sndcgan_step.SNDCGANTrainConfig(
+        model=SNDCGANConfig(image_size=(16, 16, 3), base_width=16),
+        batch_size=2, opt_moments="bf16",
+    )
+    state = sndcgan_step.init_state(cfg)
+    mu_dtypes = {a.dtype for a in jax.tree.leaves(state.g_opt.mu)}
+    assert mu_dtypes == {jnp.dtype(jnp.bfloat16)}
+
+    bad = sndcgan_step.SNDCGANTrainConfig(
+        model=SNDCGANConfig(image_size=(16, 16, 3), base_width=16),
+        batch_size=2, opt_moments="fp8",
+    )
+    with _pytest.raises(ValueError, match="opt_moments"):
+        sndcgan_step.build(bad)
