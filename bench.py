@@ -117,7 +117,11 @@ def bench_sndcgan() -> dict:
     # (~1.3 ms at 20+ steps/s) is amortized away and the number tracks
     # device time. The per-step-dispatch rate above is reported alongside
     # (it is what rounds 1-2 recorded).
-    nb = 32
+    # 64 scan batches matches the epoch-runner program already in the
+    # persistent compile cache from the round-3 chip measurements (the perm
+    # shape is baked into the HLO; a different nb forces a fresh ~5 min
+    # tunnel compile).
+    nb = 64
     imgs = jax.device_put(
         np.random.default_rng(3).integers(
             0, 256, (batch_size * nb, 144, 256, 3), dtype=np.uint8
