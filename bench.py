@@ -24,11 +24,21 @@ full fused train step. WGAN runs the reference's 144x256 shape
 (wasserstein_gan/Trainer.py:12,49), CycleGAN the reference's 128x128
 9-res-block config (cyclegan/Trainer.py:5) — both in their faithful f32
 configurations.
+
+Outage-proof (VERDICT r3 next #1a): a dead/hanging TPU tunnel, a stalled
+compile, or any per-family failure ends with a parseable headline JSON line
+(error fields set) and rc 0 — never a bare traceback. Compile-cache
+hits/misses and per-family wall time are reported so a cold persistent
+cache is visible (weak #2). Knobs: IMAGEGEN_BENCH_INIT_TIMEOUT (backend
+probe, default 480 s), IMAGEGEN_BENCH_DEADLINE (whole run, default 2700 s).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
+import threading
 import time
 from pathlib import Path
 
@@ -38,12 +48,105 @@ REF_GPU_STEPS_PER_SEC = 0.33  # documented extrapolation, see docstring
 WARMUP = 3
 ITERS = 20
 
-# Dense bf16 peak of one TPU v5e chip (the bench device), for MFU.
-V5E_BF16_PEAK_FLOPS = 197e12
+# Dense bf16 peaks per chip by device_kind substring, for MFU (ADVICE r3:
+# don't assume the bench device is a v5e). Unknown devices omit the mfu
+# field rather than reporting a silently-wrong ratio.
+BF16_PEAK_FLOPS_BY_KIND = (
+    ("v5 lite", 197e12),  # v5e reports "TPU v5 lite" / "TPU v5e"
+    ("v5e", 197e12),
+    ("v5litepod", 197e12),
+    ("v6 lite", 918e12),  # Trillium
+    ("v6e", 918e12),
+    ("v5p", 459e12),
+    ("v5", 459e12),  # bare "TPU v5" == v5p (after the lite variants above)
+    ("v4", 275e12),
+    ("v3", 123e12),
+)
 # Hand FLOP model of the fused step (benchmarks/README.md "vs_baseline"
 # derivation): ~207 GFLOP per image at 256x144. Used only if XLA's own
 # cost analysis is unavailable through the tunnel.
 FALLBACK_STEP_GFLOP_PER_IMAGE_256x144 = 207.0
+
+# Persistent-compile-cache hit/miss counters (VERDICT r3 weak #2: report
+# cache behavior instead of silently paying — or dying on — a cold compile
+# through the ~5 min tunnel). Populated by jax.monitoring events; programs
+# under jax_persistent_cache_min_compile_time_secs record neither.
+_CACHE = {"hits": 0, "misses": 0, "registered": False}
+
+
+def _register_cache_listener() -> None:
+    if _CACHE["registered"]:
+        return
+    _CACHE["registered"] = True
+    import jax.monitoring as monitoring
+
+    def listener(event: str, **kw) -> None:
+        if event == "/jax/compilation_cache/cache_hits":
+            _CACHE["hits"] += 1
+        elif event == "/jax/compilation_cache/cache_misses":
+            _CACHE["misses"] += 1
+
+    monitoring.register_event_listener(listener)
+
+
+def _peak_flops(device_kind: str) -> float | None:
+    kind = device_kind.lower()
+    for sub, peak in BF16_PEAK_FLOPS_BY_KIND:
+        if sub in kind:
+            return peak
+    return None
+
+
+def _emit_and_exit(line: dict) -> None:
+    print(json.dumps(line), flush=True)
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def _headline_error(reason: str, detail: str = "") -> dict:
+    return {
+        "metric": "sndcgan_train_steps_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "steps/s",
+        "vs_baseline": 0.0,
+        "error": reason,
+        "detail": detail[:300],
+    }
+
+
+def _probe_backend(timeout_s: float) -> None:
+    """Fail-safe backend acquisition (VERDICT r3 next #1a).
+
+    Two observed failure modes of the tunneled TPU, both of which must end
+    with a PARSEABLE headline JSON line and rc 0 instead of a traceback:
+    - backend init raises (BENCH_r03: 'Unable to initialize backend axon');
+    - backend init HANGS forever (the round-3 outage signature,
+      docs/STATUS.md — jax.devices() never returns). Guarded by a watchdog
+      thread that emits the error line and exits 0.
+    """
+    done = threading.Event()
+
+    def watchdog() -> None:
+        if not done.wait(timeout_s):
+            _emit_and_exit(
+                _headline_error(
+                    "tpu_unavailable",
+                    f"backend init did not return within {timeout_s:.0f}s "
+                    "(axon tunnel hang signature, docs/STATUS.md round 3)",
+                )
+            )
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    try:
+        jax = _setup_jax()
+        jax.devices()
+        import jax.numpy as jnp
+
+        jnp.arange(4.0).sum().block_until_ready()  # prove the chip executes
+    except Exception as e:  # noqa: BLE001 — any init failure -> error line
+        done.set()
+        _emit_and_exit(_headline_error("tpu_unavailable", repr(e)))
+    done.set()
 
 
 def _step_flops(jitted_step, *example_args) -> float | None:
@@ -66,6 +169,7 @@ def _setup_jax():
     from imagegeneration_tpu.core.platform import setup_compile_cache
 
     setup_compile_cache(jax)  # host-fingerprinted (cross-host AOT safety)
+    _register_cache_listener()
     return jax
 
 
@@ -167,7 +271,8 @@ def bench_sndcgan() -> dict:
     flops = _step_flops(step, state, batch)
     if flops is None:
         flops = FALLBACK_STEP_GFLOP_PER_IMAGE_256x144 * 1e9 * batch_size
-    mfu = steps_per_sec * flops / V5E_BF16_PEAK_FLOPS
+    device_kind = str(jax.devices()[0].device_kind)
+    peak = _peak_flops(device_kind)
 
     out = {
         "metric": "sndcgan_train_steps_per_sec_per_chip",
@@ -179,11 +284,12 @@ def bench_sndcgan() -> dict:
         "images_per_sec": round(steps_per_sec * batch_size, 1),
         "sampled_images_per_sec": round(sampled_per_sec, 1),
         "step_tflop": round(flops / 1e12, 2),
-        "mfu": round(mfu, 3),
         "measured_path": measured_path,
         "dispatch_steps_per_sec": round(dispatch_steps_per_sec, 3),
-        "device": str(jax.devices()[0].device_kind),
+        "device": device_kind,
     }
+    if peak is not None:  # ADVICE r3: no silently-wrong MFU on unknown chips
+        out["mfu"] = round(steps_per_sec * flops / peak, 3)
     timing_file = Path(__file__).with_name("benchmarks") / "reference_timing.json"
     if timing_file.exists():
         t = json.loads(timing_file.read_text())
@@ -231,7 +337,7 @@ def bench_sndcgan_config5() -> dict:
     if flops is None:
         # 4x the 256x144 per-image cost (pixel-count scaling)
         flops = FALLBACK_STEP_GFLOP_PER_IMAGE_256x144 * 4e9 * batch_size
-    return {
+    out = {
         "metric": "sndcgan_512x288_train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
@@ -239,8 +345,11 @@ def bench_sndcgan_config5() -> dict:
         "resolution": "512x288",
         "images_per_sec": round(steps_per_sec * batch_size, 1),
         "step_tflop": round(flops / 1e12, 2),
-        "mfu": round(steps_per_sec * flops / V5E_BF16_PEAK_FLOPS, 3),
     }
+    peak = _peak_flops(str(jax.devices()[0].device_kind))
+    if peak is not None:
+        out["mfu"] = round(steps_per_sec * flops / peak, 3)
+    return out
 
 
 def bench_wgan() -> dict:
@@ -316,11 +425,74 @@ def bench_cyclegan() -> dict:
     }
 
 
+def _run_family(fn, metric_name: str) -> dict:
+    """Run one family bench; never raise. Attaches persistent-compile-cache
+    hit/miss deltas + wall time so a cold cache is visible in the output
+    instead of silently eating the run budget (VERDICT r3 weak #2)."""
+    h0, m0 = _CACHE["hits"], _CACHE["misses"]
+    t0 = time.monotonic()
+    try:
+        out = fn()
+    except Exception as e:  # noqa: BLE001 — one family must not kill the run
+        out = {
+            "metric": metric_name,
+            "value": 0.0,
+            "unit": "steps/s",
+            "error": type(e).__name__,
+            "detail": repr(e)[:300],
+        }
+    out["cache_hits"] = _CACHE["hits"] - h0
+    out["cache_misses"] = _CACHE["misses"] - m0
+    out["bench_wall_s"] = round(time.monotonic() - t0, 1)
+    return out
+
+
 def main() -> None:
-    print(json.dumps(bench_wgan()), flush=True)
-    print(json.dumps(bench_cyclegan()), flush=True)
-    print(json.dumps(bench_sndcgan_config5()), flush=True)
-    print(json.dumps(bench_sndcgan()), flush=True)  # headline LAST
+    """Always ends with ONE parseable headline JSON line and rc 0.
+
+    Order of defenses (VERDICT r3 next #1a):
+    1. backend probe with hang watchdog (dead tunnel -> error line, rc 0);
+    2. the headline bench is COMPUTED first (freshest time budget) but
+       printed last (the driver records the final line);
+    3. a global deadline watchdog (IMAGEGEN_BENCH_DEADLINE, default 45 min)
+       emits the held headline — or a deadline error — if any family bench
+       stalls (e.g. a cold ~5 min/program tunnel compile x many programs);
+    4. every family bench is individually exception-proof (_run_family).
+    """
+    budget_s = float(os.environ.get("IMAGEGEN_BENCH_DEADLINE", "2700"))
+    deadline = time.monotonic() + budget_s
+    _probe_backend(float(os.environ.get("IMAGEGEN_BENCH_INIT_TIMEOUT", "480")))
+
+    held: dict = {}
+
+    def on_deadline() -> None:
+        _emit_and_exit(
+            held.get("headline")
+            or _headline_error("bench_deadline_exceeded", f"{budget_s:.0f}s")
+        )
+
+    timer = threading.Timer(budget_s, on_deadline)
+    timer.daemon = True
+    timer.start()
+
+    held["headline"] = _run_family(
+        bench_sndcgan, "sndcgan_train_steps_per_sec_per_chip"
+    )
+    for fn, name in (
+        (bench_wgan, "wgan_train_steps_per_sec_per_chip"),
+        (bench_cyclegan, "cyclegan_train_steps_per_sec_per_chip"),
+        (bench_sndcgan_config5, "sndcgan_512x288_train_steps_per_sec_per_chip"),
+    ):
+        if time.monotonic() > deadline - 120:
+            print(
+                json.dumps({"metric": name, "skipped": "bench_deadline"}),
+                flush=True,
+            )
+            continue
+        print(json.dumps(_run_family(fn, name)), flush=True)
+
+    timer.cancel()
+    print(json.dumps(held["headline"]), flush=True)  # headline LAST
 
 
 if __name__ == "__main__":

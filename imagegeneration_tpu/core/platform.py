@@ -41,7 +41,9 @@ def compile_cache_dir(root: str | None = None) -> str:
       - jax + jaxlib versions (the XLA build that chose the AOT features).
     The root defaults to <repo>/.jax_cache derived from this file's
     location (overridable via IMAGEGEN_JAX_CACHE) rather than a hardcoded
-    absolute path (ADVICE r2).
+    absolute path (ADVICE r2); when the package tree is not writable (an
+    installed site-packages copy) it falls back to
+    $XDG_CACHE_HOME/imagegen_jax (ADVICE r3).
 
     Residual (benign, same-host) warning: XLA stamps the CPUID-derived
     tuning preferences +prefer-no-scatter/+prefer-no-gather into the AOT
@@ -53,12 +55,21 @@ def compile_cache_dir(root: str | None = None) -> str:
     import hashlib
 
     if root is None:
-        root = os.environ.get("IMAGEGEN_JAX_CACHE") or os.path.join(
-            os.path.dirname(  # core/ -> imagegeneration_tpu/ -> repo root
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-            ),
-            ".jax_cache",
+        root = os.environ.get("IMAGEGEN_JAX_CACHE")
+    if root is None:
+        repo_root = os.path.dirname(  # core/ -> imagegeneration_tpu/ -> root
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
+        # Installed (site-packages, possibly read-only) trees must not grow
+        # a cache dir; fall back to the user cache location (ADVICE r3).
+        if os.access(repo_root, os.W_OK):
+            root = os.path.join(repo_root, ".jax_cache")
+        else:
+            root = os.path.join(
+                os.environ.get("XDG_CACHE_HOME")
+                or os.path.join(os.path.expanduser("~"), ".cache"),
+                "imagegen_jax",
+            )
     ident: list[str] = []
     try:
         with open("/proc/cpuinfo") as f:

@@ -72,6 +72,16 @@ class SNDCGANConfig:
     dropout_hash_rounds: int = 1
     dtype: Any = jnp.float32
 
+    def __post_init__(self) -> None:
+        # Only two mask streams exist (each with its own pinned golden,
+        # tests/test_goldens.py); anything else must fail at build time
+        # instead of silently mapping to the 2-round mode (ADVICE r3).
+        if self.dropout_hash_rounds not in (1, 2):
+            raise ValueError(
+                f"dropout_hash_rounds must be 1 or 2, got "
+                f"{self.dropout_hash_rounds!r}"
+            )
+
 
 class Generator(fnn.Module):
     """DCGAN generator: z -> (H, W, 3) in [-1, 1]."""

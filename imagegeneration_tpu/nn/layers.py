@@ -376,9 +376,16 @@ class ConvTranspose(fnn.Module):
     (fractionally-strided conv) — architecturally equivalent to Keras's
     gradient-of-conv formulation (same output shape and parameter count;
     kernels are learned so the orientation difference is immaterial).
-    Stride-1 and stride-2 SAME cases take exact reverse-free lowerings
-    (plain conv / phase decomposition — see _PhaseConvTranspose2);
-    set IMAGEGEN_CONVT_IMPL=lax to force the generic lowering for A/B.
+    The stride-1 SAME odd-kernel case lowers to a plain `fnn.Conv` BY
+    DEFAULT (set IMAGEGEN_CONVT_IMPL=lax to force the generic lowering for
+    A/B): a stride-1 unflipped-kernel conv_transpose is mathematically a
+    plain conv, and on this jax version the two produce IDENTICAL StableHLO
+    (pinned structurally in tests/test_layers_convt.py), so the lowering is
+    exact by construction and guards against any future transpose-rule
+    regression (an earlier XLA trace attributed a 151 MB activation reverse
+    to conv_transpose's dW at the to_rgb shape). The stride-2 SAME case has
+    opt-in experimental lowerings (IMAGEGEN_CONVT_IMPL=phase/hybrid/packed,
+    measured slower-or-wash — see inline notes).
     """
 
     features: int
@@ -394,9 +401,12 @@ class ConvTranspose(fnn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         import os
 
-        impl = os.environ.get("IMAGEGEN_CONVT_IMPL", "lax")
-        generic = impl not in ("phase", "hybrid", "packed")
-        if self.strides == (2, 2) and self.padding == "SAME" and not generic:
+        impl = os.environ.get("IMAGEGEN_CONVT_IMPL", "")
+        if (
+            self.strides == (2, 2)
+            and self.padding == "SAME"
+            and impl in ("phase", "hybrid", "packed")
+        ):
             # Two measured A/B levers, both exact (tests/test_layers_convt.py)
             # and both LOSING or tying XLA's dilated-conv lowering at the
             # headline config, so neither is default:
@@ -423,7 +433,7 @@ class ConvTranspose(fnn.Module):
                 name="ConvTranspose_0",
             )(x)
         if (
-            not generic
+            impl != "lax"  # default-on; "lax" is the generic escape hatch
             and self.strides == (1, 1)
             and self.padding == "SAME"
             and self.kernel_size[0] % 2 == 1
@@ -432,15 +442,15 @@ class ConvTranspose(fnn.Module):
             # A stride-1 SAME odd-kernel ConvTranspose (transpose_kernel=False,
             # flax's default: lax.conv_transpose == conv_general_dilated with
             # lhs_dilation=1, unflipped kernel) is EXACTLY a plain conv with
-            # the same (kh, kw, cin, cout) kernel — but XLA's transpose rule
-            # for conv_transpose computes dW by spatially REVERSING the input
-            # activation, which at the generator's to_rgb materialized a
-            # 151 MB bf16[32,144,256,64] reverse costing 0.92 ms/step
-            # (trace-measured, benchmarks/README.md). Lowering the s1 case to
-            # fnn.Conv keeps identical forward numerics and the identical
-            # parameter path (explicit name below), and gets the standard
-            # reverse-free conv gradient. Exactness pinned in
-            # tests/test_layers_convt.py.
+            # the same (kh, kw, cin, cout) kernel. On the current jax the two
+            # lowerings emit IDENTICAL StableHLO for fwd AND grad (pinned in
+            # tests/test_layers_convt.py::test_s1_fast_path_hlo_identical), so
+            # this path is exact by construction; it exists to keep the
+            # standard reverse-free conv gradient pinned structurally (an
+            # earlier XLA trace attributed a 151 MB bf16[32,144,256,64]
+            # activation reverse costing 0.92 ms/step to conv_transpose's dW
+            # at the to_rgb shape — benchmarks/README.md). Identical parameter
+            # path via the explicit name below.
             return fnn.Conv(
                 features=self.features,
                 kernel_size=self.kernel_size,

@@ -22,7 +22,11 @@ def _ref_apply(kernel, x):
     return mod.apply({"params": {"kernel": kernel}}, x)
 
 
-def test_s1_fast_path_matches_conv_transpose_fwd_and_grad():
+def test_s1_fast_path_matches_conv_transpose_fwd_and_grad(monkeypatch):
+    # Default-on (ADVICE r3): with the env UNSET the wrapper must take the
+    # plain-conv lowering, so this comparison vs flax's generic
+    # lax.conv_transpose formulation actually exercises the fast path.
+    monkeypatch.delenv("IMAGEGEN_CONVT_IMPL", raising=False)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(2, 9, 11, 5)), jnp.float32)
     kernel = jnp.asarray(rng.normal(size=(3, 3, 5, 4)), jnp.float32)
@@ -44,6 +48,39 @@ def test_s1_fast_path_matches_conv_transpose_fwd_and_grad():
     g_ref = jax.grad(lambda k, t: jnp.sum(_ref_apply(k, t) ** 2), argnums=(0, 1))
     for a, b in zip(g(kernel, x), g_ref(kernel, x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_s1_fast_path_hlo_identical(monkeypatch):
+    """The strongest possible exactness pin: the default (plain-conv) s1
+    lowering and the IMAGEGEN_CONVT_IMPL=lax generic lowering produce
+    IDENTICAL StableHLO for the fwd+grad program, modulo the module name and
+    location metadata. This proves bitwise-identical numerics AND that the
+    generic path currently has no extra activation reverse to dodge — the
+    fast path stays as a structural guard against transpose-rule regressions
+    (see nn/layers.py ConvTranspose docstring)."""
+    import re
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 9, 11, 5)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 5, 4)), jnp.float32)
+    mod = ConvTranspose(4, (3, 3), (1, 1), "SAME", use_bias=False)
+
+    def loss(k, t):
+        return jnp.sum(mod.apply({"params": {"ConvTranspose_0": {"kernel": k}}}, t) ** 2)
+
+    def lowered_text():
+        txt = jax.jit(jax.grad(loss, argnums=(0, 1))).lower(kernel, x).as_text()
+        txt = re.sub(r"loc\(.*?\)", "", txt)
+        txt = "\n".join(
+            l.split("loc(")[0].rstrip() for l in txt.splitlines() if "#loc" not in l
+        )
+        return re.sub(r"@jit_\w+", "@jit_fn", txt)
+
+    monkeypatch.delenv("IMAGEGEN_CONVT_IMPL", raising=False)
+    fast = lowered_text()
+    monkeypatch.setenv("IMAGEGEN_CONVT_IMPL", "lax")
+    generic = lowered_text()
+    assert fast == generic
 
 
 def _ref_apply_s2(kernel, x, bias=None):
