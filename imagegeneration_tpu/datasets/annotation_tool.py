@@ -13,9 +13,12 @@ reproduced:
 - one-hot CSV layout: header 'img,<label...>' + 0/1 rows — the same shape the
   reference preprocess scripts consume (without the header).
 
-The session logic (`AnnotationSession`) is pure and unit-tested; the terminal
-UI reads simple commands (n/p/1-9/q — the GUI's keyboard shortcuts); a PyQt5
-GUI is attached only if PyQt5 is importable (it is not baked into this image).
+The session logic (`AnnotationSession`) is pure and unit-tested. `--gui`
+launches the graphical labeler in datasets/annotation_gui.py (PyQt5 when
+installed, tkinter otherwise — both reproduce the reference window's image
+panel, label buttons, and n/p/1-9 shortcuts). The terminal UI reads the
+same commands and renders the current image as ANSI half-block art so
+labeling without a display is actually possible.
 """
 
 from __future__ import annotations
@@ -124,12 +127,54 @@ class AnnotationSession:
         return n
 
 
-def run_terminal_ui(session: AnnotationSession, csv_out: str | Path) -> None:
+def render_image_ansi(path: str | Path, max_width: int = 72) -> str:
+    """Render an image as ANSI truecolor half-block art for the terminal UI.
+
+    Each character cell shows two vertical pixels (upper-half-block glyph
+    with fg = top pixel, bg = bottom pixel), so the terminal labeler can
+    actually DISPLAY the image being labeled — the capability the
+    reference's GUI provides via QPixmap (main.py:571-591). Any truecolor
+    terminal (all modern ones) renders it; failures (unreadable file,
+    missing PIL) degrade to a placeholder line rather than crashing the
+    labeling session.
+    """
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            img = im.convert("RGB")
+            scale = min(max_width / img.width, 1.0)
+            # terminal cells are ~2x taller than wide; half-blocks give 2
+            # vertical pixels per cell, so width scaling alone keeps aspect
+            w = max(int(img.width * scale), 1)
+            h = max(int(img.height * scale), 2) // 2 * 2
+            img = img.resize((w, h))
+            px = img.load()
+        lines = []
+        for y in range(0, h, 2):
+            cells = []
+            for x in range(w):
+                tr, tg, tb = px[x, y]
+                br, bg_, bb = px[x, y + 1]
+                cells.append(
+                    f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg_};{bb}m▀"
+                )
+            lines.append("".join(cells) + "\x1b[0m")
+        return "\n".join(lines)
+    except Exception as e:  # noqa: BLE001 — preview must never kill the UI
+        return f"[no preview: {e}]"
+
+
+def run_terminal_ui(
+    session: AnnotationSession, csv_out: str | Path, preview: bool = True
+) -> None:
     """Minimal stdin labeler: n(ext) p(rev) 1-9 toggle label, q(uit+save)."""
     print(f"Labels: {[f'{i + 1}:{lb}' for i, lb in enumerate(session.labels)]}")
     print("Commands: 1-9 toggle label, n next, p prev, q quit (auto-saves csv)")
     while True:
         cur = session.current
+        if preview:
+            print(render_image_ansi(cur))
         print(
             f"[{session.index + 1}/{len(session.images)}] "
             f"{os.path.basename(cur)} -> {sorted(session.assigned[cur])}"
@@ -167,7 +212,10 @@ def main(argv=None) -> None:
     parser.add_argument("--output-folder", default=None,
                         help="destination for copy/move modes")
     parser.add_argument("--gui", action="store_true", default=False,
-                        help="use the PyQt5 GUI if PyQt5 is installed")
+                        help="open the graphical labeler (PyQt5 if "
+                             "installed, else tkinter)")
+    parser.add_argument("--no-preview", action="store_true", default=False,
+                        help="terminal UI: skip the ANSI image preview")
     args = parser.parse_args(argv)
 
     labels = [s.strip() for s in args.labels.split(",") if s.strip()]
@@ -175,16 +223,12 @@ def main(argv=None) -> None:
     csv_out = args.csv_out or os.path.join(args.input_folder, "labels.csv")
 
     if args.gui:
-        try:
-            import PyQt5  # noqa: F401
-        except ImportError:
-            print("PyQt5 not installed; falling back to terminal UI.")
-        else:
-            print(
-                "PyQt5 GUI is not bundled in this build; using terminal UI. "
-                "(The reference vendored robertbrada/PyQt-image-annotation-tool.)"
-            )
-    run_terminal_ui(session, csv_out)
+        from imagegeneration_tpu.datasets.annotation_gui import run_gui
+
+        if run_gui(session, csv_out, args.output_folder):
+            return  # the GUI handles csv + copy/move on close
+        print("Falling back to the terminal UI.")
+    run_terminal_ui(session, csv_out, preview=not args.no_preview)
     if args.mode in ("copy", "move"):
         dest = args.output_folder or args.input_folder
         n = session.apply_copy_move(dest)
