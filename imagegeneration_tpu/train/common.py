@@ -80,44 +80,76 @@ def rmsprop(learning_rate: float) -> optax.GradientTransformation:
     return optax.rmsprop(learning_rate, decay=0.9, eps=KERAS_EPS)
 
 
+def _loss_dtype(*xs: jax.Array):
+    # bf16 inputs upcast to f32 for the reduction; f64 stays f64 (the f64
+    # mesh-equivalence tests depend on full-precision loss reductions).
+    return jnp.promote_types(jnp.result_type(*xs), jnp.float32)
+
+
 def bce_logits_mean(labels: jax.Array, logits: jax.Array) -> jax.Array:
     """Keras BinaryCrossentropy(from_logits=True) with mean reduction
-    (sndcgan/SNDCGAN.py:170, cyclegan/CycleGAN.py:187). Computed in f32."""
-    logits = logits.astype(jnp.float32)
-    labels = labels.astype(jnp.float32)
-    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+    (sndcgan/SNDCGAN.py:170, cyclegan/CycleGAN.py:187). Computed in >=f32."""
+    dt = _loss_dtype(labels, logits)
+    return jnp.mean(
+        optax.sigmoid_binary_cross_entropy(logits.astype(dt), labels.astype(dt))
+    )
 
 
 def wasserstein_loss(labels: jax.Array, preds: jax.Array) -> jax.Array:
     """mean(y_true * y_pred) — wasserstein_gan/WGAN.py:48-49."""
-    return jnp.mean(labels.astype(jnp.float32) * preds.astype(jnp.float32))
+    dt = _loss_dtype(labels, preds)
+    return jnp.mean(labels.astype(dt) * preds.astype(dt))
 
 
 def hinge_d_loss(logits_real: jax.Array, logits_fake: jax.Array) -> jax.Array:
     """SN-GAN hinge discriminator loss (new; BASELINE config 2)."""
-    lr = logits_real.astype(jnp.float32)
-    lf = logits_fake.astype(jnp.float32)
+    dt = _loss_dtype(logits_real, logits_fake)
+    lr = logits_real.astype(dt)
+    lf = logits_fake.astype(dt)
     return jnp.mean(jax.nn.relu(1.0 - lr)) + jnp.mean(jax.nn.relu(1.0 + lf))
 
 
 def hinge_g_loss(logits_fake: jax.Array) -> jax.Array:
-    return -jnp.mean(logits_fake.astype(jnp.float32))
+    return -jnp.mean(logits_fake.astype(_loss_dtype(logits_fake)))
 
 
 def tree_cast(tree: Any, dtype) -> Any:
     return jax.tree.map(lambda x: x.astype(dtype), tree)
 
 
+def tree_cast_like(tree: Any, ref: Any) -> Any:
+    """Cast every leaf of `tree` to the dtype of the matching leaf in `ref`.
+
+    Used to pin mutated flax `batch_stats` back to their STORED dtype: flax
+    computes batch statistics in the promoted compute dtype, so under an f64
+    model config (the mesh-equivalence tests) the mutated running stats come
+    back f64 while the state holds f32 — which changes the state pytree's
+    type across steps and breaks lax.cond branch-signature equality
+    (tests/test_parallel.py::test_wgan_multistep_mesh_equivalence_f64)."""
+    return jax.tree.map(lambda x, r: x.astype(r.dtype), tree, ref)
+
+
 def make_replicator(mesh):
     """Returns tree -> tree constraining every leaf to full replication.
 
     Used on parameter/optimizer trees after each in-step optimizer apply when
-    running under a mesh. Besides being the intended layout (state replicated,
-    batch sharded), this works around an XLA SPMD partitioner miscompile
-    observed on the grad -> adam -> second-forward chain under spatial (H)
-    batch sharding: without the constraint the partitioner propagates a
-    spatial sharding into the updated weights of the follow-up forward pass
-    and produces wrong numerics (see tests/test_parallel.py)."""
+    running under a mesh, AND on every gradient tree before it enters the
+    optimizer update. Besides being the intended layout (state replicated,
+    batch sharded), this works around two XLA SPMD partitioner miscompiles
+    in fused grad -> optimizer -> second-forward programs:
+
+    1. Without the post-apply constraint the partitioner propagates a
+       spatial sharding into the updated weights of the follow-up forward
+       pass and produces wrong numerics (>2x loss divergence;
+       tests/test_parallel.py spatial tests).
+    2. Without the gradient constraint the partitioner resolves the batch-
+       mean's cross-device reduction as a SUM over the data axis — gradients
+       come out data_axis_size x too large. Adam/RMSprop are scale-invariant
+       in the gradient, so losses and params look right while the second-
+       moment accumulators are axis_size^2 x too large (measured: exact 16x
+       nu on a 4x2 mesh, all three families, while the same value_and_grad
+       isolated in its own jit is bit-exact). Caught by the f64 final-state
+       comparisons in tests/test_parallel.py."""
     if mesh is None:
         return lambda tree: tree
     from jax.sharding import NamedSharding, PartitionSpec

@@ -93,18 +93,22 @@ def init_state(cfg: CycleGANTrainConfig) -> CycleGANState:
     )
 
 
+def _acc_dtype(*xs: jax.Array):
+    # Upcast bf16 inputs to f32 for the L1 reduction, but do NOT downcast
+    # f64 (the f64 mesh-equivalence tests rely on full-precision reductions).
+    return jnp.promote_types(jnp.result_type(*xs), jnp.float32)
+
+
 def cycle_loss(real: jax.Array, cycled: jax.Array) -> jax.Array:
     """10 * mean|real - cycled| (CycleGAN.py:201-203)."""
-    return LAMBDA * jnp.mean(
-        jnp.abs(real.astype(jnp.float32) - cycled.astype(jnp.float32))
-    )
+    dt = _acc_dtype(real, cycled)
+    return LAMBDA * jnp.mean(jnp.abs(real.astype(dt) - cycled.astype(dt)))
 
 
 def identity_loss(real: jax.Array, same: jax.Array) -> jax.Array:
     """5 * mean|real - same| (CycleGAN.py:206-208)."""
-    return LAMBDA * 0.5 * jnp.mean(
-        jnp.abs(real.astype(jnp.float32) - same.astype(jnp.float32))
-    )
+    dt = _acc_dtype(real, same)
+    return LAMBDA * 0.5 * jnp.mean(jnp.abs(real.astype(dt) - same.astype(dt)))
 
 
 def discriminator_loss(logits_real: jax.Array, logits_fake: jax.Array) -> jax.Array:
@@ -177,16 +181,25 @@ def make_train_step(cfg: CycleGANTrainConfig, mesh=None):
             state.gg_params, state.gf_params, state.dx_params, state.dy_params,
             has_aux=True,
         )
-        del losses  # individual values are reported via aux
-        one = jnp.ones((), jnp.float32)
-        zero = jnp.zeros((), jnp.float32)
-        # pull 1: d total_gen_g / d params -> keep the gg block
-        gg_grads = vjp_fn((one, zero, zero, zero))[0]
-        # pull 2: d total_gen_f / d params -> keep the gf block
-        gf_grads = vjp_fn((zero, one, zero, zero))[1]
-        # pull 3: disc losses are parameter-disjoint -> both blocks in one pull
-        _, _, dx_grads, dy_grads = vjp_fn((zero, zero, one, one))
+        # Cotangent dtypes must match the primal loss dtypes (f32 normally;
+        # f64 under the f64 mesh-equivalence configs).
+        def cot(*flags):
+            return tuple(
+                jnp.asarray(f, l.dtype) for f, l in zip(flags, losses)
+            )
 
+        # pull 1: d total_gen_g / d params -> keep the gg block
+        gg_grads = vjp_fn(cot(1, 0, 0, 0))[0]
+        # pull 2: d total_gen_f / d params -> keep the gf block
+        gf_grads = vjp_fn(cot(0, 1, 0, 0))[1]
+        # pull 3: disc losses are parameter-disjoint -> both blocks in one pull
+        _, _, dx_grads, dy_grads = vjp_fn(cot(0, 0, 1, 1))
+
+        # grad replication constraints: GSPMD sum-for-mean miscompile
+        # workaround — see common.make_replicator.
+        gg_grads, gf_grads, dx_grads, dy_grads = replicate(
+            (gg_grads, gf_grads, dx_grads, dy_grads)
+        )
         gg_updates, gg_opt = gg_tx.update(gg_grads, state.gg_opt, state.gg_params)
         gf_updates, gf_opt = gf_tx.update(gf_grads, state.gf_opt, state.gf_params)
         dx_updates, dx_opt = dx_tx.update(dx_grads, state.dx_opt, state.dx_params)

@@ -199,6 +199,9 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
         (g_loss, (fake_images, new_g_bs)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
         )(state.g_params)
+        # grad replication constraints: GSPMD sum-for-mean miscompile
+        # workaround — see common.make_replicator.
+        g_grads = replicate(g_grads)
         g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         new_g_params = replicate(optax.apply_updates(state.g_params, g_updates))
         # The fake batch used below is from the PRE-update generator — the
@@ -237,6 +240,7 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
              ), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
                 state.d_params
             )
+            d_grads = replicate(d_grads)
             d_updates_tree, new_d_opt = d_tx.update(
                 d_grads, state.d_opt, state.d_params
             )
@@ -265,6 +269,7 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
         (d_loss_real, (logits_real, new_sp)), d_grads1 = jax.value_and_grad(
             d_real_loss_fn, has_aux=True
         )(state.d_params)
+        d_grads1 = replicate(d_grads1)
         d_updates1, d_opt_mid = d_tx.update(d_grads1, state.d_opt, state.d_params)
         d_params_mid = replicate(optax.apply_updates(state.d_params, d_updates1))
 
@@ -289,6 +294,7 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
         (d_loss_fake, logits_fake), d_grads2 = jax.value_and_grad(
             d_fake_loss_fn, has_aux=True
         )(d_params_mid)
+        d_grads2 = replicate(d_grads2)
         d_updates2, new_d_opt = d_tx.update(d_grads2, d_opt_mid, d_params_mid)
         new_d_params = replicate(optax.apply_updates(d_params_mid, d_updates2))
 

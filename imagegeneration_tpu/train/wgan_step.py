@@ -138,6 +138,16 @@ def make_train_step(cfg: WGANTrainConfig, mesh=None):
             return loss, mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(c_params)
+        # GSPMD workaround: without this, sharding propagation through the
+        # grad->RMSprop->clip->second-forward chain resolves the batch-mean
+        # reduction as a SUM over the data axis — grads (and hence the nu
+        # accumulators) come out data_axis_size x too large.  Measured: exact
+        # 16x nu inflation on a 4x2 data x spatial mesh in f64 while the
+        # isolated value_and_grad of the same loss is bit-exact (see
+        # tests/test_parallel.py f64 trajectory tests).  Same bug family as
+        # the replicate(new_params) workaround in sndcgan_step.py.
+        grads = replicate(grads)
+        new_bs = common.tree_cast_like(new_bs, c_bs)  # stats keep stored dtype
         updates, new_opt = c_tx.update(grads, c_opt, c_params)
         new_params = optax.apply_updates(c_params, updates)
         if not use_gp:
@@ -211,6 +221,11 @@ def make_train_step(cfg: WGANTrainConfig, mesh=None):
             (g_loss, (new_g_bs, new_c_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )((g_params, cp))
+            grads = replicate(grads)  # same GSPMD workaround as critic_update
+            # stats keep their stored dtype (lax.cond branch-type equality
+            # under f64 compute — see common.tree_cast_like)
+            new_g_bs = common.tree_cast_like(new_g_bs, g_bs)
+            new_c_bs = common.tree_cast_like(new_c_bs, cbs)
             g_grads, c_grads = grads
             # Freeze everything in the critic except BatchNorm scale/bias
             # (WGAN.py:140-142).
@@ -225,7 +240,11 @@ def make_train_step(cfg: WGANTrainConfig, mesh=None):
                 optax.apply_updates((g_params, cp), updates)
             )
             return (
-                new_g_params, new_g_bs, new_cp, new_c_bs, new_gan_opt, g_loss
+                new_g_params, new_g_bs, new_cp, new_c_bs, new_gan_opt,
+                # f32 to match skip_branch's zeros under any compute dtype
+                # (lax.cond requires identical branch signatures; the loss
+                # is f64 when cfg.model.dtype is f64 — mesh-equivalence test)
+                g_loss.astype(jnp.float32),
             )
 
         def skip_branch(operand):

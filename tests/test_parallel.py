@@ -21,7 +21,11 @@ from imagegeneration_tpu.core.mesh import (
     make_mesh,
 )
 from imagegeneration_tpu.models.sndcgan import SNDCGANConfig
-from imagegeneration_tpu.parallel.dp import replicate_state, shard_train_step
+from imagegeneration_tpu.parallel.dp import (
+    replicate_state,
+    shard_paired_train_step,
+    shard_train_step,
+)
 from imagegeneration_tpu.train.sndcgan_step import (
     SNDCGANTrainConfig,
     init_state,
@@ -235,6 +239,269 @@ def test_cyclegan_resident_epoch_runner_under_mesh():
         assert np.all(np.isfinite(np.asarray(m8[k])))
     kernel = jax.tree.leaves(s8.gg_params)[0]
     assert kernel.sharding.is_fully_replicated
+
+
+def test_wgan_spatial_partitioning_matches_single_device():
+    """Step-1 exactness for WGAN under the data x spatial (H-sharded) mesh —
+    the critic's strided SAME convs force XLA halo exchanges on the H axis,
+    and the in-graph clip/cadence must survive the partitioning. Same
+    step-1-is-the-exactness-point rationale as the SNDCGAN spatial test.
+
+    32x32 keeps the deepest critic feature map at 4x4 (2 rows per spatial
+    shard, >= the 3x3 kernel halo). At 16x16 the deepest map is 2x2 and the
+    per-shard extent collapses to 1 row < halo — a degenerate partitioning
+    where GSPMD's halo/reduction resolution is measurably WRONG (isolated f64
+    forward loss differs 0.3%, conv grads come out exactly 1/(data axis)x;
+    see docs/STATUS.md round 4). Spatial sharding targets large images
+    (config-5 512x288); tests must stay out of the degenerate regime."""
+    from imagegeneration_tpu.models.wgan import WGANConfig
+    from imagegeneration_tpu.train.wgan_step import (
+        WGANTrainConfig,
+        init_state as wgan_init,
+        make_train_step as wgan_step,
+    )
+
+    cfg = WGANTrainConfig(
+        model=WGANConfig(image_size=(32, 32, 3), base_width=16),
+        batch_size=4, n_critic=2, seed=7,
+    )
+    batch = np.random.default_rng(8).integers(0, 256, (4, 32, 32, 3), np.uint8)
+
+    s_single = wgan_init(cfg)
+    s_single, m_single = jax.jit(wgan_step(cfg))(s_single, batch)
+
+    mesh = make_mesh(MeshConfig(data=4, spatial=2))
+    step = shard_train_step(
+        wgan_step(cfg, mesh=mesh), mesh, spatial=True, donate_state=False
+    )
+    s_sp = replicate_state(wgan_init(cfg), mesh)
+    s_sp, m_sp = step(
+        s_sp, jax.device_put(batch, batch_sharding(mesh, spatial=True))
+    )
+
+    for k in m_single:
+        assert float(m_single[k]) == pytest.approx(
+            float(m_sp[k]), rel=2e-4, abs=2e-5
+        ), k
+    kernel = jax.tree.leaves(s_sp.c_params)[0]
+    assert kernel.sharding.is_fully_replicated
+
+
+def test_cyclegan_spatial_partitioning_matches_single_device():
+    """Step-1 exactness for CycleGAN under the data x spatial mesh: the
+    ReflectionPad + VALID PatchGAN stack and InstanceNorm's per-image spatial
+    reductions must partition exactly (IN reduces over the sharded H axis —
+    XLA must insert the cross-shard reduction)."""
+    from imagegeneration_tpu.models.cyclegan import CycleGANConfig
+    from imagegeneration_tpu.train.cyclegan_step import (
+        CycleGANTrainConfig,
+        init_state as cyc_init,
+        make_train_step as cyc_step,
+    )
+
+    cfg = CycleGANTrainConfig(
+        model=CycleGANConfig(
+            image_size=(96, 96, 3), base_width=8, n_res_blocks=1,
+            in_backend="xla",
+        ),
+        batch_size=4, seed=7,
+    )
+    rng = np.random.default_rng(9)
+    bx = rng.integers(0, 256, (4, 96, 96, 3), np.uint8)
+    by = rng.integers(0, 256, (4, 96, 96, 3), np.uint8)
+
+    s_single = cyc_init(cfg)
+    s_single, m_single = jax.jit(cyc_step(cfg))(s_single, bx, by)
+
+    mesh = make_mesh(MeshConfig(data=4, spatial=2))
+    step = shard_paired_train_step(
+        cyc_step(cfg, mesh=mesh), mesh, spatial=True, donate_state=False
+    )
+    sh = batch_sharding(mesh, spatial=True)
+    s_sp = replicate_state(cyc_init(cfg), mesh)
+    s_sp, m_sp = step(s_sp, jax.device_put(bx, sh), jax.device_put(by, sh))
+
+    for k in m_single:
+        assert float(m_single[k]) == pytest.approx(
+            float(m_sp[k]), rel=2e-4, abs=2e-5
+        ), k
+    kernel = jax.tree.leaves(s_sp.gg_params)[0]
+    assert kernel.sharding.is_fully_replicated
+
+
+def _f64_multistep_drift(make_cfg, init_fn, step_fn_factory, make_batches,
+                         n_steps=4):
+    """Shared driver for the f64 multi-step mesh-equivalence tests.
+
+    Rationale (benchmarks/diag_mesh_drift.py): in f32, near-cancelling
+    gradient sums get their SIGN from fp reduction order, and the optimizers'
+    first-step update is ~lr*sign(g) regardless of |g| — so f32 multi-step
+    single-vs-mesh comparison is chaotic by construction, not by bug. In f64
+    the reduction-order noise (~1e-16 relative) is ~9 orders below any
+    realistic gradient magnitude, so sign flips vanish and the two
+    trajectories must agree QUANTITATIVELY over multiple steps. This turns
+    the finiteness-only multi-step check into a numeric invariant: any real
+    SPMD divergence (wrong collective, halo bug, state desync) accumulates
+    and fails here, while legit fp-order noise stays ~1e-12.
+
+    Besides per-step metrics, the FINAL STATE (params, batch stats, optimizer
+    accumulators) is compared leaf-by-leaf. This is the sharper invariant:
+    RMSprop/Adam are scale-invariant in the gradient, so a wrong-by-a-
+    constant-factor gradient (the GSPMD psum-for-pmean miscompile this caught
+    in the WGAN critic update — nu exactly (data axis)^2 x too large) leaves
+    losses and even params nearly unchanged while the second-moment state is
+    wildly wrong. Metrics-only trajectory tests are blind to that class.
+    """
+    old_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg = make_cfg()
+        batches = make_batches()
+
+        s1 = init_fn(cfg)
+        step1 = jax.jit(step_fn_factory(cfg, None))
+        traj1 = []
+        for b in batches[:n_steps]:
+            s1, m1 = step1(s1, *b)
+            traj1.append({k: float(v) for k, v in m1.items()})
+
+        mesh = make_mesh(MeshConfig(data=4, spatial=2))
+        sh = batch_sharding(mesh, spatial=True)
+        repl = NamedSharding(mesh, P())
+        stepm = jax.jit(
+            step_fn_factory(cfg, mesh),
+            in_shardings=(repl,) + (sh,) * len(batches[0]),
+            out_shardings=(repl, repl),
+        )
+        sm = replicate_state(init_fn(cfg), mesh)
+        trajm = []
+        for b in batches[:n_steps]:
+            sm, mm = stepm(sm, *(jax.device_put(x, sh) for x in b))
+            trajm.append({k: float(v) for k, v in mm.items()})
+
+        for i, (m1, mm) in enumerate(zip(traj1, trajm)):
+            for k in m1:
+                assert m1[k] == pytest.approx(mm[k], rel=1e-9, abs=1e-10), (
+                    f"step {i + 1} metric {k}: single={m1[k]} mesh={mm[k]}"
+                )
+
+        # Final-state comparison — catches optimizer-scale bugs metrics miss.
+        # abs floor 1e-8: coordinates whose true gradient is EXACTLY zero by
+        # cancellation (conv bias feeding BatchNorm) carry reduction-order
+        # noise ~1e-16 that optimizer state squares/accumulates; they sit many
+        # orders below 1e-8 while any real factor-of-axis-size bug sits many
+        # orders above.
+        flat1 = jax.tree_util.tree_flatten_with_path(s1)[0]
+        flatm = jax.tree_util.tree_flatten_with_path(sm)[0]
+        assert len(flat1) == len(flatm)
+        for (path, a1), (_, am) in zip(flat1, flatm):
+            a1 = np.asarray(a1)
+            am = np.asarray(am)
+            if a1.dtype == bool or a1.size == 0:
+                continue
+            d = float(np.abs(a1.astype(np.float64) - am.astype(np.float64)).max())
+            tol = max(1e-8, 1e-6 * float(np.abs(a1).max()))
+            assert d <= tol, (
+                f"state leaf {jax.tree_util.keystr(path)}: "
+                f"max abs diff {d:.3e} > tol {tol:.3e}"
+            )
+    finally:
+        jax.config.update("jax_enable_x64", old_x64)
+
+
+def test_wgan_multistep_mesh_equivalence_f64():
+    """4-step numeric single-vs-mesh agreement for the WGAN step (both
+    cadence branches fire at n_critic=2) under the data x spatial mesh.
+    32x32, not 16x16 — see test_wgan_spatial_partitioning docstring for the
+    degenerate-shard-extent regime this must stay out of."""
+    from imagegeneration_tpu.models.wgan import WGANConfig
+    from imagegeneration_tpu.train.wgan_step import (
+        WGANTrainConfig,
+        init_state as wgan_init,
+        make_train_step as wgan_step,
+    )
+
+    def make_cfg():
+        return WGANTrainConfig(
+            model=WGANConfig(
+                image_size=(32, 32, 3), base_width=16, dtype=jnp.float64
+            ),
+            batch_size=4, n_critic=2, seed=7,
+        )
+
+    def make_batches():
+        rng = np.random.default_rng(11)
+        return [
+            (rng.integers(0, 256, (4, 32, 32, 3), np.uint8),)
+            for _ in range(4)
+        ]
+
+    _f64_multistep_drift(
+        make_cfg, wgan_init, lambda c, m: wgan_step(c, mesh=m), make_batches
+    )
+
+
+def test_sndcgan_multistep_mesh_equivalence_f64():
+    """4-step numeric single-vs-mesh agreement for the SNDCGAN step (G
+    update + two-apply D update) under the data x spatial mesh. The final-
+    state comparison is what caught the GSPMD sum-for-mean gradient
+    miscompile: Adam's mu/nu were exactly 4x/16x inflated on the mesh while
+    losses matched (scale-invariance)."""
+
+    def make_cfg():
+        return SNDCGANTrainConfig(
+            model=SNDCGANConfig(
+                image_size=(32, 32, 3), base_width=16, dropout_rate=0.0,
+                dtype=jnp.float64,
+            ),
+            batch_size=4, seed=7,
+        )
+
+    def make_batches():
+        rng = np.random.default_rng(13)
+        return [
+            (rng.integers(0, 256, (4, 32, 32, 3), np.uint8),)
+            for _ in range(4)
+        ]
+
+    _f64_multistep_drift(
+        make_cfg, init_state, lambda c, m: make_train_step(c, mesh=m),
+        make_batches,
+    )
+
+
+def test_cyclegan_multistep_mesh_equivalence_f64():
+    """4-step numeric single-vs-mesh agreement for the CycleGAN fused
+    4-network step under the data x spatial mesh."""
+    from imagegeneration_tpu.models.cyclegan import CycleGANConfig
+    from imagegeneration_tpu.train.cyclegan_step import (
+        CycleGANTrainConfig,
+        init_state as cyc_init,
+        make_train_step as cyc_step,
+    )
+
+    def make_cfg():
+        return CycleGANTrainConfig(
+            model=CycleGANConfig(
+                image_size=(96, 96, 3), base_width=8, n_res_blocks=1,
+                in_backend="xla", dtype=jnp.float64,
+            ),
+            batch_size=4, seed=7,
+        )
+
+    def make_batches():
+        rng = np.random.default_rng(12)
+        return [
+            (
+                rng.integers(0, 256, (4, 96, 96, 3), np.uint8),
+                rng.integers(0, 256, (4, 96, 96, 3), np.uint8),
+            )
+            for _ in range(4)
+        ]
+
+    _f64_multistep_drift(
+        make_cfg, cyc_init, lambda c, m: cyc_step(c, mesh=m), make_batches
+    )
 
 
 def test_graft_entry_dryrun_multichip():
