@@ -44,6 +44,8 @@ from pathlib import Path
 
 import numpy as np
 
+from imagegeneration_tpu.core import platform as platformlib
+
 REF_GPU_STEPS_PER_SEC = 0.33  # documented extrapolation, see docstring
 WARMUP = 3
 ITERS = 20
@@ -207,7 +209,11 @@ def bench_sndcgan() -> dict:
         loss="hinge",
     )
     state = init_state(cfg)
-    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    step = jax.jit(
+        make_train_step(cfg),
+        donate_argnums=0,
+        compiler_options=platformlib.tpu_compiler_options(),
+    )
     batch = jax.device_put(
         np.random.default_rng(0).integers(
             0, 256, (batch_size, 144, 256, 3), dtype=np.uint8
@@ -326,7 +332,11 @@ def bench_sndcgan_config5() -> dict:
         loss="hinge",
     )
     state = init_state(cfg)
-    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    step = jax.jit(
+        make_train_step(cfg),
+        donate_argnums=0,
+        compiler_options=platformlib.tpu_compiler_options(),
+    )
     batch = jax.device_put(
         np.random.default_rng(0).integers(
             0, 256, (batch_size, 288, 512, 3), dtype=np.uint8
@@ -371,7 +381,11 @@ def bench_wgan() -> dict:
         model=WGANConfig(image_size=(144, 256, 3)), batch_size=batch_size
     )
     state = init_state(cfg)
-    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    step = jax.jit(
+        make_train_step(cfg),
+        donate_argnums=0,
+        compiler_options=platformlib.tpu_compiler_options(),
+    )
     batch = jax.device_put(
         np.random.default_rng(0).integers(
             0, 256, (batch_size, 144, 256, 3), dtype=np.uint8
@@ -406,7 +420,11 @@ def bench_cyclegan() -> dict:
         model=CycleGANConfig(image_size=(128, 128, 3)), batch_size=batch_size
     )
     state = init_state(cfg)
-    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    step = jax.jit(
+        make_train_step(cfg),
+        donate_argnums=0,
+        compiler_options=platformlib.tpu_compiler_options(),
+    )
     rng = np.random.default_rng(0)
     bx = jax.device_put(
         rng.integers(0, 256, (batch_size, 128, 128, 3), dtype=np.uint8)

@@ -96,3 +96,34 @@ def setup_compile_cache(jax) -> None:
     """Point jax's persistent compile cache at the host-scoped directory."""
     jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def tpu_compiler_options() -> dict[str, str] | None:
+    """Measured-win per-jit XLA:TPU compiler options for the hot programs.
+
+    XLA_FLAGS does not reach this image's tunneled TPU compiler (the flags
+    env is read by the *server* process, not the client), so wins that would
+    normally be fleet flags are applied per-jit via `compiler_options`.
+    Current contents:
+      - xla_tpu_scoped_vmem_limit_kib=98304: raising the scoped-vmem budget
+        from the default lets the fuser keep larger conv scratch tiles
+        resident; measured -0.5 ms/step on the SNDCGAN headline step
+        (chip A/B 2026-08-18, benchmarks/sweep_flags.py).
+
+    Returns None (jax.jit's default) on non-TPU backends — XLA rejects
+    unknown option keys, so the TPU-only keys must never reach the CPU
+    compiler. Override/disable with IMAGEGEN_TPU_VMEM_KIB ("" disables).
+    """
+    import jax
+
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return None
+    kind = getattr(dev, "device_kind", "") or ""
+    if dev.platform != "tpu" and not kind.upper().startswith("TPU"):
+        return None
+    vmem = os.environ.get("IMAGEGEN_TPU_VMEM_KIB", "98304").strip()
+    if not vmem:
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": vmem}

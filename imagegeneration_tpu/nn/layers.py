@@ -187,6 +187,108 @@ def _conv_transpose2_hybrid(x: jax.Array, kernel: jax.Array) -> jax.Array:
     return f(x, kernel)
 
 
+def _conv_transpose2_swapdw(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Stride-2 SAME ConvTranspose whose dW is ONE reverse-free conv.
+
+    Forward and dx keep XLA's own lowerings (identical numerics to
+    lax.conv_transpose). Only dW is re-derived: XLA's backward-filter
+    canonicalization of the lhs-dilated (transposed) conv materializes a
+    spatially REVERSED copy of the incoming cotangent per layer — 3 reverse
+    ops totalling ~1.5 ms/step at the SNDCGAN headline config (the up2
+    bf16[32,144,256,64] dy alone is 151 MB and 0.92 ms; trace ids
+    %reverse/.1/.2, benchmarks/README.md). The earlier "hybrid" fix removed
+    the reverses but split dW into FOUR per-phase convs, paying the win
+    back. This lowering keeps dW a single conv via a transpose identity:
+
+    A SAME stride-s ConvT with left pad `pl` satisfies
+        y[n, t, o] = sum_{u,a: su = t+a-pl} x[n, u, i] W[a, i, o]
+    so  dW[a, i, o] = sum_{n,u} x[n, u, i] dy[n, su + pl - a, o],
+    which is EXACTLY the weight gradient of the plain FORWARD strided conv
+        z = conv(dy, V, window_strides=s, padding=(k-1-pl, pl+1-s))
+    taken at cotangent x, with the roles swapped (dy is the conv INPUT, x
+    the COTANGENT) and dW[a, i, o] = dV[k-1-a, o, i] (spatial flip +
+    in/out-channel swap of a (k, k, cout, cin) tensor — a few KB). A plain
+    strided conv's backward-filter uses rhs_dilation, never an activation
+    reverse (none of the discriminator's strided convs produce one). Same
+    products as the builtin rule — fp reassociation deltas only; forward
+    and dx are bit-identical to lax. Exactness + the no-reverse property
+    are pinned in tests/test_layers_convt.py.
+    """
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    pl_h = _conv_transpose_same_pad(kh, 2)
+    pl_w = _conv_transpose_same_pad(kw, 2)
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def _fwd(x, w):
+        return jax.lax.conv_transpose(
+            x, w, strides=(2, 2), padding="SAME", dimension_numbers=dn,
+            transpose_kernel=False,
+        )
+
+    @jax.custom_vjp
+    def f(x, w):
+        return _fwd(x, w)
+
+    def f_fwd(x, w):
+        return _fwd(x, w), (x, w)
+
+    def f_bwd(res, dy):
+        x, w = res
+        _, vjp_x = jax.vjp(lambda t: _fwd(t, w), x)
+        (dx,) = vjp_x(dy)
+        pad_h = (kh - 1 - pl_h, pl_h + 1 - 2)
+        pad_w = (kw - 1 - pl_w, pl_w + 1 - 2)
+        v0 = jnp.zeros((kh, kw, w.shape[3], w.shape[2]), dy.dtype)
+        _, vjp_v = jax.vjp(
+            lambda v: jax.lax.conv_general_dilated(
+                dy, v, window_strides=(2, 2), padding=(pad_h, pad_w),
+                dimension_numbers=dn,
+            ),
+            v0,
+        )
+        (dv,) = vjp_v(x.astype(dy.dtype))
+        dw = jnp.flip(dv, (0, 1)).transpose(0, 1, 3, 2)
+        return dx, dw.astype(w.dtype)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x, kernel)
+
+
+class _SwapDWConvTranspose2(fnn.Module):
+    """Flax wrapper for _conv_transpose2_swapdw with the fnn.ConvTranspose
+    parameter path/shape ((kh, kw, cin, cout), unflipped)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    use_bias: bool = True
+    kernel_init: Callable = KERAS_GLOROT_UNIFORM
+    dtype: Dtype | None = None
+    param_dtype: Dtype = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param(
+                "bias", jax.nn.initializers.zeros, (self.features,),
+                self.param_dtype,
+            )
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = fnn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        y = _conv_transpose2_swapdw(x, kernel)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class _HybridConvTranspose2(fnn.Module):
     """Flax wrapper for _conv_transpose2_hybrid with the fnn.ConvTranspose
     parameter path/shape ((kh, kw, cin, cout), unflipped)."""
@@ -383,9 +485,12 @@ class ConvTranspose(fnn.Module):
     (pinned structurally in tests/test_layers_convt.py), so the lowering is
     exact by construction and guards against any future transpose-rule
     regression (an earlier XLA trace attributed a 151 MB activation reverse
-    to conv_transpose's dW at the to_rgb shape). The stride-2 SAME case has
-    opt-in experimental lowerings (IMAGEGEN_CONVT_IMPL=phase/hybrid/packed,
-    measured slower-or-wash — see inline notes).
+    to conv_transpose's dW at the to_rgb shape). The stride-2 SAME case
+    defaults to the "swapdw" lowering (lax fwd/dx, bit-identical, plus a
+    role-swapped single-conv dW that avoids XLA's 151 MB activation reverses
+    — measured 44.40 -> 42.57 ms/step at the headline config; set
+    IMAGEGEN_CONVT_IMPL=lax for the generic lowering). Older opt-in
+    experiments (phase/hybrid/packed) measured slower-or-wash — inline notes.
     """
 
     features: int
@@ -402,18 +507,24 @@ class ConvTranspose(fnn.Module):
         import os
 
         impl = os.environ.get("IMAGEGEN_CONVT_IMPL", "")
+        impl_s2 = impl or "swapdw"  # default-on; "lax" = generic escape hatch
         if (
             self.strides == (2, 2)
             and self.padding == "SAME"
-            and impl in ("phase", "hybrid", "packed")
+            and impl_s2 in ("phase", "hybrid", "packed", "swapdw")
         ):
-            # Two measured A/B levers, both exact (tests/test_layers_convt.py)
-            # and both LOSING or tying XLA's dilated-conv lowering at the
-            # headline config, so neither is default:
-            # - "hybrid": lax fwd/dx + reverse-free per-phase dW. Removes the
-            #   0.92 ms %reverse.2 the builtin dW rule materializes, but the
-            #   four per-phase backward-filter convs cost the same back:
-            #   46.77 vs 46.84 ms/step resident — a wash.
+            # "swapdw" is the measured DEFAULT (44.40 -> 42.57 ms/step at the
+            # headline config, chip A/B 2026-08-18): lax fwd/dx (bit-identical)
+            # + the role-swapped single-conv dW that never materializes the
+            # three 151 MB activation reverses XLA's backward-filter
+            # canonicalization emits for lhs-dilated convs. The remaining
+            # reverses in the compiled step are <=4 MB kernel flips on the dx
+            # path. Exactness pinned in tests/test_layers_convt.py.
+            # Two older A/B levers stay opt-in, both measured LOSING or tying
+            # XLA's dilated-conv lowering:
+            # - "hybrid": lax fwd/dx + reverse-free per-PHASE dW. Removes the
+            #   reverses but the four per-phase backward-filter convs cost the
+            #   same back: 46.77 vs 46.84 ms/step resident — a wash.
             # - "phase": full 2x2 phase decomposition (four 2-tap-per-dim
             #   stride-1 convs + depth-to-space). 7 ms/step SLOWER (53.9 vs
             #   46.8): the small-tap convs + interleave lose more MXU
@@ -422,7 +533,8 @@ class ConvTranspose(fnn.Module):
                 "phase": _PhaseConvTranspose2,
                 "hybrid": _HybridConvTranspose2,
                 "packed": _PackedConvTranspose2,
-            }[impl]
+                "swapdw": _SwapDWConvTranspose2,
+            }[impl_s2]
             return mod(
                 features=self.features,
                 kernel_size=self.kernel_size,
@@ -552,7 +664,10 @@ class InstanceNorm(fnn.Module):
             reduction_axes = (1, 2)
             param_shape = (x.shape[-1],)
         orig_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
+        # bf16 upcasts to f32 for the statistics; f64 stays f64 (the f64
+        # mesh-equivalence tests depend on full-precision reductions).
+        ct = jnp.promote_types(x.dtype, jnp.float32)
+        x32 = x.astype(ct)
         mean = jnp.mean(x32, axis=reduction_axes, keepdims=True)
         var = jnp.var(x32, axis=reduction_axes, keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
@@ -560,12 +675,12 @@ class InstanceNorm(fnn.Module):
             gamma = self.param(
                 "scale", KERAS_RANDOM_UNIFORM, param_shape, self.param_dtype
             )
-            y = y * gamma.astype(jnp.float32)
+            y = y * gamma.astype(ct)
         if self.use_bias:
             beta = self.param(
                 "bias", KERAS_RANDOM_UNIFORM, param_shape, self.param_dtype
             )
-            y = y + beta.astype(jnp.float32)
+            y = y + beta.astype(ct)
         return y.astype(self.dtype or orig_dtype)
 
 

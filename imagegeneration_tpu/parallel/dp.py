@@ -21,7 +21,7 @@ from typing import Callable
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from imagegeneration_tpu.core import mesh as meshlib
+from imagegeneration_tpu.core import mesh as meshlib, platform as platformlib
 
 
 def shard_train_step(
@@ -38,6 +38,7 @@ def shard_train_step(
         in_shardings=(state_sh, batch_sh),
         out_shardings=(state_sh, state_sh),
         donate_argnums=(0,) if donate_state else (),
+        compiler_options=platformlib.tpu_compiler_options(),
     )
 
 
@@ -51,14 +52,16 @@ def jit_epoch_runner(runner: Callable, mesh: Mesh | None, n_data: int):
     HBM dataset + permutation indices replicated); the runner itself
     reshards each gathered batch to the data axis in-program (see
     make_epoch_runner(mesh=...)). n_data = number of data args."""
+    opts = platformlib.tpu_compiler_options()
     if mesh is None:
-        return jax.jit(runner, donate_argnums=0)
+        return jax.jit(runner, donate_argnums=0, compiler_options=opts)
     repl = NamedSharding(mesh, P())
     return jax.jit(
         runner,
         in_shardings=(repl,) * (n_data + 1),
         out_shardings=(repl, repl),
         donate_argnums=0,
+        compiler_options=opts,
     )
 
 
@@ -76,4 +79,5 @@ def shard_paired_train_step(
         in_shardings=(state_sh, batch_sh, batch_sh),
         out_shardings=(state_sh, state_sh),
         donate_argnums=(0,) if donate_state else (),
+        compiler_options=platformlib.tpu_compiler_options(),
     )

@@ -34,6 +34,7 @@ from jax.sharding import NamedSharding, PartitionSpec
 from imagegeneration_tpu.core import checkpoint as ckptlib
 from imagegeneration_tpu.core import data as datalib
 from imagegeneration_tpu.core import mesh as meshlib
+from imagegeneration_tpu.core import platform as platformlib
 from imagegeneration_tpu.core import metrics as metricslib
 from imagegeneration_tpu.core import preview as previewlib
 from imagegeneration_tpu.core import rng as rnglib
@@ -114,7 +115,11 @@ class SNDCGANEngine:
             self._step = dp.shard_train_step(step_fn, mesh)
             self.state = dp.replicate_state(self.state, mesh)
         else:
-            self._step = jax.jit(step_fn, donate_argnums=0)
+            self._step = jax.jit(
+                step_fn,
+                donate_argnums=0,
+                compiler_options=platformlib.tpu_compiler_options(),
+            )
         if resident is None:
             resident = self.dataset.images.nbytes < 2 * 1024**3
         self.resident = resident

@@ -94,7 +94,7 @@ def _ref_apply_s2(kernel, x, bias=None):
     return mod.apply({"params": params}, x)
 
 
-@pytest.mark.parametrize("impl", ["hybrid", "phase", "packed"])
+@pytest.mark.parametrize("impl", ["hybrid", "phase", "packed", "swapdw"])
 @pytest.mark.parametrize("ksize,odd_hw", [((4, 4), False), ((3, 3), True)])
 def test_s2_paths_match_conv_transpose_fwd_and_grad(ksize, odd_hw, impl, monkeypatch):
     """Hybrid (lax fwd/dx + reverse-free per-phase dW) and full phase
@@ -128,6 +128,42 @@ def test_s2_paths_match_conv_transpose_fwd_and_grad(ksize, odd_hw, impl, monkeyp
                      argnums=(0, 1))
     for a, b in zip(g(kernel, x), g_ref(kernel, x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+@pytest.mark.parametrize("ksize,odd_hw", [((4, 4), False), ((3, 3), True)])
+def test_s2_default_is_swapdw_fwd_dx_bitexact(ksize, odd_hw, monkeypatch):
+    """The stride-2 SAME default (env UNSET) is the swapdw lowering: forward
+    and dx are BIT-identical to the generic lax lowering (same primitives —
+    only dW is re-derived), and dW agrees to fp-reassociation level. The
+    role-swap identity: convT's dW equals the flipped/io-swapped weight-grad
+    of the plain forward strided conv with lhs=dy, cotangent=x (see
+    nn/layers.py _conv_transpose2_swapdw; chip win 44.40 -> 42.57 ms/step)."""
+    rng = np.random.default_rng(4)
+    hw = (9, 11) if odd_hw else (6, 10)
+    x = jnp.asarray(rng.normal(size=(2, *hw, 5)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(*ksize, 5, 4)), jnp.float32)
+    mod = ConvTranspose(4, ksize, (2, 2), "SAME", use_bias=False)
+
+    def outputs():
+        params = {"ConvTranspose_0": {"kernel": kernel}}
+        y = mod.apply({"params": params}, x)
+        dk, dx = jax.grad(
+            lambda k, t: jnp.sum(
+                mod.apply({"params": {"ConvTranspose_0": {"kernel": k}}}, t)
+                ** 2
+            ),
+            argnums=(0, 1),
+        )(kernel, x)
+        return np.asarray(y), np.asarray(dk), np.asarray(dx)
+
+    monkeypatch.delenv("IMAGEGEN_CONVT_IMPL", raising=False)
+    y_fast, dk_fast, dx_fast = outputs()
+    monkeypatch.setenv("IMAGEGEN_CONVT_IMPL", "lax")
+    y_lax, dk_lax, dx_lax = outputs()
+
+    np.testing.assert_array_equal(y_fast, y_lax)   # fwd bit-identical
+    np.testing.assert_array_equal(dx_fast, dx_lax)  # dx bit-identical
+    np.testing.assert_allclose(dk_fast, dk_lax, rtol=1e-5, atol=1e-5)
 
 
 def test_generic_env_escape_hatch(monkeypatch):
