@@ -86,3 +86,64 @@ def test_instance_norm_relu_gradient_masks():
     y = instance_norm(x, gamma, beta, 1e-3, True, "xla")
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.min(y)) >= 0.0
+
+
+def test_pallas_interpret_backward_matches_xla():
+    """The fused single-pass backward kernel == the XLA backward, with and
+    without the fused ReLU (mask recomputed from the pre-activation)."""
+    from imagegeneration_tpu.ops.pallas.instance_norm import (
+        _in_bwd_pallas,
+        _in_bwd_xla,
+        _in_fwd_xla,
+    )
+
+    for relu, seed in ((False, 4), (True, 5)):
+        x, gamma, beta = _inputs(b=2, h=8, w=8, c=16, seed=seed)
+        _, mean, rstd = _in_fwd_xla(x, gamma, beta, 1e-3, relu)
+        rng = np.random.default_rng(seed + 10)
+        dy = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+        dx_p, dg_p, db_p = _in_bwd_pallas(
+            x, dy, gamma, beta, mean, rstd, relu, interpret=True
+        )
+        dx_x, dg_x, db_x = _in_bwd_xla(x, dy, gamma, beta, mean, rstd, relu)
+        np.testing.assert_allclose(
+            np.asarray(dx_p), np.asarray(dx_x), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(dg_p), np.asarray(dg_x), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(db_p), np.asarray(db_x), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_instance_norm_pallas_interpret_grad_matches_autodiff():
+    """End-to-end custom_vjp with backend=pallas_interpret vs autodiff
+    through the plain definition — pins the residual change (y dropped,
+    ReLU mask recomputed) and the (B,1,C)-partial dgamma/dbeta reduction."""
+    x, gamma, beta = _inputs(b=2, h=8, w=8, c=128, seed=6)
+
+    def plain(x, gamma, beta, relu):
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        xhat = (x - mean) * jax.lax.rsqrt(var + 1e-3)
+        y = xhat * gamma + beta
+        return jnp.maximum(y, 0.0) if relu else y
+
+    for relu in (False, True):
+        def loss_custom(args):
+            x_, g_, b_ = args
+            y = instance_norm(x_, g_, b_, 1e-3, relu, "pallas_interpret")
+            return jnp.sum(y * y)
+
+        def loss_plain(args):
+            x_, g_, b_ = args
+            return jnp.sum(plain(x_, g_, b_, relu) ** 2)
+
+        g_custom = jax.grad(loss_custom)((x, gamma, beta))
+        g_plain = jax.grad(loss_plain)((x, gamma, beta))
+        for a, b in zip(jax.tree.leaves(g_custom), jax.tree.leaves(g_plain)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            )
