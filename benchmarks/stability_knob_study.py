@@ -56,7 +56,8 @@ def ensure_dataset(root: Path, n: int, h: int, w: int) -> Path:
 
 
 def train_run(workdir: Path, data_dir: Path, name: str, d_updates: int,
-              epochs: int) -> Path:
+              epochs: int, seed: int | None = None) -> Path:
+    from imagegeneration_tpu.core import rng as rnglib
     from imagegeneration_tpu.train.sndcgan_engine import SNDCGANEngine
 
     run_dir = workdir / f"run_{name}"
@@ -69,6 +70,7 @@ def train_run(workdir: Path, data_dir: Path, name: str, d_updates: int,
         image_size=(144, 256, 3),
         d_updates=d_updates,
         preview_frequency=25,
+        seed=seed if seed is not None else rnglib.DEFAULT_MODEL_SEED,
     )
     eng.train(epochs, checkpoint_frequency=5)
     return run_dir
@@ -136,6 +138,11 @@ def main() -> None:
                     "(CPU fallback: every Nth export)")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse existing runs, redo only the FID sweeps")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="model/training seed (VERDICT r3 #7: second-seed "
+                    "replication). Default: the repo's DEFAULT_MODEL_SEED. "
+                    "When set, run dirs and the results file get a _s<seed> "
+                    "suffix so seeds can be compared side by side.")
     args = ap.parse_args()
 
     import jax
@@ -152,12 +159,17 @@ def main() -> None:
     workdir.mkdir(parents=True, exist_ok=True)
     data_dir = ensure_dataset(workdir, args.n, 144, 256)
 
+    suffix = f"_s{args.seed}" if args.seed is not None else ""
     runs = {}
-    for name, d_updates in (("faithful_d2", 2), ("knob_d1", 1)):
+    for base, d_updates in (("faithful_d2", 2), ("knob_d1", 1)):
+        name = base + suffix
         run_dir = workdir / f"run_{name}"
         if not args.skip_train or not run_dir.exists():
-            run_dir = train_run(workdir, data_dir, name, d_updates, args.epochs)
-        runs[name] = run_dir
+            run_dir = train_run(
+                workdir, data_dir, name, d_updates, args.epochs,
+                seed=args.seed,
+            )
+        runs[base] = run_dir
 
     own = {n: fid_sweep(runs[n], data_dir, "own", step_size=args.fid_step)
            for n in runs}
@@ -191,7 +203,8 @@ def main() -> None:
                 v = table[n].get(e)
                 row.append(f"{v:.1f}" if v is not None else "—")
         lines.append("| " + " | ".join(row) + " |")
-    out_md = Path(__file__).resolve().parent.parent / "docs" / "stability_knob_results.md"
+    out_name = f"stability_knob_results{suffix}.md" if suffix else "stability_knob_results.md"
+    out_md = Path(__file__).resolve().parent.parent / "docs" / out_name
     out_md.write_text("\n".join(lines) + "\n")
     print(json.dumps({"own": own, "shared": shared}, indent=2))
     print(f"wrote {out_md}")
