@@ -186,6 +186,44 @@ def _time_steps(jax, step, state, *batches, iters=ITERS):
     return iters / (time.perf_counter() - t0), state
 
 
+def _time_steps_scan(jax, step_fn, state, *batches, n=ITERS, repeats=2,
+                     workload=None):
+    """Elision-proof per-step timing: run n chained steps under ONE lax.scan
+    program (the same shape as the engines' default resident epoch runner)
+    and time that single dispatch.
+
+    Rationale (benchmarks/README.md "Measurement methodology caveat"): the
+    tunneled chip nondeterministically ELIDES repeated identical dispatches —
+    a python loop of donated same-arg step calls can report absurd rates
+    (observed: the 42.6 ms CycleGAN step "measured" at 2.4 ms/step, an
+    implied ~750 f32 TFLOP/s on a 197-TFLOP/s-peak chip). One big scan
+    program cannot be elided per-step, and at n*step_ms >= hundreds of ms the
+    single-dispatch timing is in the regime the tunnel measures reliably.
+    `step_fn` must be the UNJITTED step; batches are closed over as
+    device-resident constants of the scanned program."""
+    from imagegeneration_tpu.core import platform as _pl
+
+    def runner(s):
+        def body(carry, _):
+            s2, m = step_fn(carry, *batches)
+            # keep the scan output tiny: one scalar metric per step
+            k = sorted(m)[0]
+            return s2, m[k]
+
+        return jax.lax.scan(body, s, None, length=n)
+
+    run = jax.jit(runner, compiler_options=_pl.tpu_compiler_options(workload))
+    state, ms = run(state)  # compile + warmup dispatch
+    jax.block_until_ready(ms)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, ms = run(state)
+        jax.block_until_ready(ms)
+        best = min(best, time.perf_counter() - t0)
+    return n / best, state
+
+
 def bench_sndcgan() -> dict:
     jax = _setup_jax()
     import jax.numpy as jnp
@@ -212,7 +250,7 @@ def bench_sndcgan() -> dict:
     step = jax.jit(
         make_train_step(cfg),
         donate_argnums=0,
-        compiler_options=platformlib.tpu_compiler_options(),
+        compiler_options=platformlib.tpu_compiler_options("sndcgan"),
     )
     batch = jax.device_put(
         np.random.default_rng(0).integers(
@@ -335,7 +373,7 @@ def bench_sndcgan_config5() -> dict:
     step = jax.jit(
         make_train_step(cfg),
         donate_argnums=0,
-        compiler_options=platformlib.tpu_compiler_options(),
+        compiler_options=platformlib.tpu_compiler_options("sndcgan"),
     )
     batch = jax.device_put(
         np.random.default_rng(0).integers(
@@ -381,17 +419,15 @@ def bench_wgan() -> dict:
         model=WGANConfig(image_size=(144, 256, 3)), batch_size=batch_size
     )
     state = init_state(cfg)
-    step = jax.jit(
-        make_train_step(cfg),
-        donate_argnums=0,
-        compiler_options=platformlib.tpu_compiler_options(),
-    )
     batch = jax.device_put(
         np.random.default_rng(0).integers(
             0, 256, (batch_size, 144, 256, 3), dtype=np.uint8
         )
     )
-    steps_per_sec, _ = _time_steps(jax, step, state, batch)
+    # scan timer: ITERS=20 covers 4 full n_critic=5 cadences per dispatch
+    steps_per_sec, _ = _time_steps_scan(
+        jax, make_train_step(cfg), state, batch, workload="wgan"
+    )
     return {
         "metric": "wgan_train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 3),
@@ -400,6 +436,7 @@ def bench_wgan() -> dict:
         "resolution": "256x144",
         "n_critic": cfg.n_critic,
         "images_per_sec": round(steps_per_sec * batch_size, 1),
+        "measured_path": "scan",
     }
 
 
@@ -420,11 +457,6 @@ def bench_cyclegan() -> dict:
         model=CycleGANConfig(image_size=(128, 128, 3)), batch_size=batch_size
     )
     state = init_state(cfg)
-    step = jax.jit(
-        make_train_step(cfg),
-        donate_argnums=0,
-        compiler_options=platformlib.tpu_compiler_options(),
-    )
     rng = np.random.default_rng(0)
     bx = jax.device_put(
         rng.integers(0, 256, (batch_size, 128, 128, 3), dtype=np.uint8)
@@ -432,7 +464,9 @@ def bench_cyclegan() -> dict:
     by = jax.device_put(
         rng.integers(0, 256, (batch_size, 128, 128, 3), dtype=np.uint8)
     )
-    steps_per_sec, _ = _time_steps(jax, step, state, bx, by)
+    steps_per_sec, _ = _time_steps_scan(
+        jax, make_train_step(cfg), state, bx, by, workload="cyclegan"
+    )
     return {
         "metric": "cyclegan_train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 3),
@@ -440,6 +474,7 @@ def bench_cyclegan() -> dict:
         "batch_size": batch_size,
         "resolution": "128x128",
         "images_per_sec": round(steps_per_sec * batch_size, 1),
+        "measured_path": "scan",
     }
 
 

@@ -98,21 +98,25 @@ def setup_compile_cache(jax) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def tpu_compiler_options() -> dict[str, str] | None:
+def tpu_compiler_options(workload: str | None = None) -> dict[str, str] | None:
     """Measured-win per-jit XLA:TPU compiler options for the hot programs.
 
     XLA_FLAGS does not reach this image's tunneled TPU compiler (the flags
     env is read by the *server* process, not the client), so wins that would
     normally be fleet flags are applied per-jit via `compiler_options`.
-    Current contents:
-      - xla_tpu_scoped_vmem_limit_kib=98304: raising the scoped-vmem budget
-        from the default lets the fuser keep larger conv scratch tiles
-        resident; measured -0.5 ms/step on the SNDCGAN headline step
-        (chip A/B 2026-08-18, benchmarks/sweep_flags.py).
+    Current contents, scoped PER WORKLOAD because the same option is a win
+    on one family and a loss on another (chip A/B 2026-08-18/19,
+    benchmarks/sweep_flags.py + elision-proof scan timings in bench.py):
+      - xla_tpu_scoped_vmem_limit_kib=98304 for workload="sndcgan" only:
+        raising the scoped-vmem budget lets the fuser keep larger conv
+        scratch tiles resident; measured -0.5 ms/step on the SNDCGAN
+        headline step, but +1.3 ms/step on the WGAN faithful step
+        (22.64 -> 21.98 steps/s), so it must not be applied globally.
 
     Returns None (jax.jit's default) on non-TPU backends — XLA rejects
     unknown option keys, so the TPU-only keys must never reach the CPU
-    compiler. Override/disable with IMAGEGEN_TPU_VMEM_KIB ("" disables).
+    compiler. Override with IMAGEGEN_TPU_VMEM_KIB (applies to EVERY
+    workload when set; "" disables everywhere).
     """
     import jax
 
@@ -123,7 +127,10 @@ def tpu_compiler_options() -> dict[str, str] | None:
     kind = getattr(dev, "device_kind", "") or ""
     if dev.platform != "tpu" and not kind.upper().startswith("TPU"):
         return None
-    vmem = os.environ.get("IMAGEGEN_TPU_VMEM_KIB", "98304").strip()
+    vmem = os.environ.get("IMAGEGEN_TPU_VMEM_KIB")
+    if vmem is None:
+        vmem = "98304" if workload == "sndcgan" else ""
+    vmem = vmem.strip()
     if not vmem:
         return None
     return {"xla_tpu_scoped_vmem_limit_kib": vmem}

@@ -29,6 +29,7 @@ def shard_train_step(
     mesh: Mesh,
     spatial: bool = False,
     donate_state: bool = True,
+    workload: str | None = None,
 ):
     """Jit a fused (state, batch) -> (state, metrics) step over a mesh."""
     state_sh = NamedSharding(mesh, P())
@@ -38,7 +39,7 @@ def shard_train_step(
         in_shardings=(state_sh, batch_sh),
         out_shardings=(state_sh, state_sh),
         donate_argnums=(0,) if donate_state else (),
-        compiler_options=platformlib.tpu_compiler_options(),
+        compiler_options=platformlib.tpu_compiler_options(workload),
     )
 
 
@@ -46,13 +47,14 @@ def replicate_state(state, mesh: Mesh):
     return jax.device_put(state, NamedSharding(mesh, P()))
 
 
-def jit_epoch_runner(runner: Callable, mesh: Mesh | None, n_data: int):
+def jit_epoch_runner(runner: Callable, mesh: Mesh | None, n_data: int,
+                     workload: str | None = None):
     """Jit a device-resident epoch runner `(state, *data_args) -> (state,
     metrics)`. Under a mesh everything is replicated (state donated, the
     HBM dataset + permutation indices replicated); the runner itself
     reshards each gathered batch to the data axis in-program (see
     make_epoch_runner(mesh=...)). n_data = number of data args."""
-    opts = platformlib.tpu_compiler_options()
+    opts = platformlib.tpu_compiler_options(workload)
     if mesh is None:
         return jax.jit(runner, donate_argnums=0, compiler_options=opts)
     repl = NamedSharding(mesh, P())
@@ -70,6 +72,7 @@ def shard_paired_train_step(
     mesh: Mesh,
     spatial: bool = False,
     donate_state: bool = True,
+    workload: str | None = None,
 ):
     """Same as shard_train_step for (state, batch_x, batch_y) steps (CycleGAN)."""
     state_sh = NamedSharding(mesh, P())
@@ -79,5 +82,5 @@ def shard_paired_train_step(
         in_shardings=(state_sh, batch_sh, batch_sh),
         out_shardings=(state_sh, state_sh),
         donate_argnums=(0,) if donate_state else (),
-        compiler_options=platformlib.tpu_compiler_options(),
+        compiler_options=platformlib.tpu_compiler_options(workload),
     )

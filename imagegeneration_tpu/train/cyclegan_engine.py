@@ -93,13 +93,13 @@ class CycleGANEngine:
 
         step_fn = steplib.make_train_step(self.cfg, mesh=mesh)
         if mesh is not None:
-            self._step = dp.shard_paired_train_step(step_fn, mesh)
+            self._step = dp.shard_paired_train_step(step_fn, mesh, workload="cyclegan")
             self.state = dp.replicate_state(self.state, mesh)
         else:
             self._step = jax.jit(
                 step_fn,
                 donate_argnums=0,
-                compiler_options=platformlib.tpu_compiler_options(),
+                compiler_options=platformlib.tpu_compiler_options("cyclegan"),
             )
         if resident is None:
             resident = (
@@ -109,7 +109,8 @@ class CycleGANEngine:
         self.resident = resident
         self._epoch_runner = (
             dp.jit_epoch_runner(
-                steplib.make_epoch_runner(self.cfg, mesh=mesh), mesh, n_data=4
+                steplib.make_epoch_runner(self.cfg, mesh=mesh), mesh, n_data=4,
+                workload="cyclegan"
             )
             if resident
             else None

@@ -112,13 +112,13 @@ class SNDCGANEngine:
 
         step_fn = steplib.make_train_step(self.cfg, mesh=mesh)
         if mesh is not None:
-            self._step = dp.shard_train_step(step_fn, mesh)
+            self._step = dp.shard_train_step(step_fn, mesh, workload="sndcgan")
             self.state = dp.replicate_state(self.state, mesh)
         else:
             self._step = jax.jit(
                 step_fn,
                 donate_argnums=0,
-                compiler_options=platformlib.tpu_compiler_options(),
+                compiler_options=platformlib.tpu_compiler_options("sndcgan"),
             )
         if resident is None:
             resident = self.dataset.images.nbytes < 2 * 1024**3
@@ -127,7 +127,8 @@ class SNDCGANEngine:
         # replicated; each scanned batch is resharded in-program.
         self._epoch_runner = (
             dp.jit_epoch_runner(
-                steplib.make_epoch_runner(self.cfg, mesh=mesh), mesh, n_data=2
+                steplib.make_epoch_runner(self.cfg, mesh=mesh), mesh, n_data=2,
+                workload="sndcgan"
             )
             if resident
             else None

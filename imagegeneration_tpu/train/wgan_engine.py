@@ -96,20 +96,21 @@ class WGANEngine:
 
         step_fn = steplib.make_train_step(self.cfg, mesh=mesh)
         if mesh is not None:
-            self._step = dp.shard_train_step(step_fn, mesh)
+            self._step = dp.shard_train_step(step_fn, mesh, workload="wgan")
             self.state = dp.replicate_state(self.state, mesh)
         else:
             self._step = jax.jit(
                 step_fn,
                 donate_argnums=0,
-                compiler_options=platformlib.tpu_compiler_options(),
+                compiler_options=platformlib.tpu_compiler_options("wgan"),
             )
         if resident is None:
             resident = self.dataset.images.nbytes < 2 * 1024**3
         self.resident = resident
         self._epoch_runner = (
             dp.jit_epoch_runner(
-                steplib.make_epoch_runner(self.cfg, mesh=mesh), mesh, n_data=2
+                steplib.make_epoch_runner(self.cfg, mesh=mesh), mesh, n_data=2,
+                workload="wgan"
             )
             if resident
             else None
