@@ -84,7 +84,7 @@ def fid_sweep(run_dir: Path, data_dir: Path, extractor_dir: Path,
         str(extractor_dir / "models" / "discriminator"),
         "disc_model-{epoch}.msgpack",
     )
-    d_vars = load_params(found[-1][1])
+    d_vars = jax.device_put(load_params(found[-1][1]))
     dcfg = SNDCGANConfig(image_size=(144, 256, 3), dropout_rate=0.5)
     disc = Discriminator(dcfg)
 
@@ -96,15 +96,15 @@ def fid_sweep(run_dir: Path, data_dir: Path, extractor_dir: Path,
     wcfg = WGANConfig(image_size=(144, 256, 3))
     gen = Generator(wcfg)
 
-    def make_gen_fn(gen_path: str):
-        g_vars = load_params(gen_path)
-
-        @jax.jit
-        def sample(z):
-            # train=False: inference-mode BN, like the engine's sampler
-            return gen.apply(g_vars, z, train=False)
-
-        return sample
+    # Fused synthesis->features in ONE program: the 14 MB fake batch never
+    # leaves the device. Required on the tunneled chip, whose client leaks
+    # every transfer buffer (~3 GB/epoch on the unfused path — see
+    # evalx/fid.py _gen_feats and docs/STATUS.md round 4).
+    @jax.jit
+    def gen_features(g_vars, z):
+        # train=False: inference-mode BN, like the engine's sampler
+        fake = gen.apply(g_vars, z, train=False)
+        return features(fake)
 
     ds = ImageFolderDataset(
         str(data_dir / "landscape"), (144, 256), labeled=False,
@@ -122,14 +122,14 @@ def fid_sweep(run_dir: Path, data_dir: Path, extractor_dir: Path,
         ))
     real_feats = [np.asarray(features(jnp.asarray(r))) for r in reals]
 
+    zs_dev = [jax.device_put(z) for z in zs]
     exports = find_epoch_files(str(run_dir / "g_models"), "model_{epoch}.msgpack")
     results: dict[int, float] = {}
     for e, p in exports[::step_size]:
-        g_fn = make_gen_fn(p)
+        g_vars = jax.device_put(load_params(p))
         fids = []
-        for z, rf in zip(zs, real_feats):
-            fake = np.asarray(g_fn(jnp.asarray(z)))  # tanh head: [-1,1]
-            ff = np.asarray(features(jnp.asarray(fake)))
+        for z, rf in zip(zs_dev, real_feats):
+            ff = np.asarray(gen_features(g_vars, z))  # tanh head: [-1,1]
             fids.append(calculate_fid_from_features(ff, rf, "lowrank"))
         results[e] = float(np.mean(fids))
         print(f"wgan epoch {e}: FID {results[e]:.2f}", flush=True)

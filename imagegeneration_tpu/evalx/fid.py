@@ -141,6 +141,23 @@ class FIDEvaluator:
         )
         self._jit_gen = jax.jit(lambda v, z: self.gen.apply(v, z, train=False))
 
+        def _gen_feats(gv, dv, z):
+            # Fused synthesis->features: the fake image NEVER leaves the
+            # device. Besides being the right TPU shape (no host roundtrip
+            # of 14 MB images per batch), this sidesteps a measured leak in
+            # the tunneled-TPU client: every device<->host transfer buffer
+            # is retained (~16 MB leaked per 28 MB image roundtrip,
+            # docs/STATUS.md round 4) — the unfused path leaked ~3 GB per
+            # evaluated epoch and OOM-killed 100-epoch sweeps.
+            fake = self.gen.apply(gv, z, train=False)
+            if self.quirk_range_mismatch:
+                fake = (fake + 1.0) / 2.0  # create_samples' [0,1] output
+            return self.disc.apply(
+                dv, fake, train=False, update_sn=False, features=True
+            )
+
+        self._jit_gen_features = jax.jit(_gen_feats)
+
     # ------------------------------------------------------------ pinning
     def init_fid_evaluation(
         self, dataset, batch_size: int, step_size: int, start_epoch: int,
@@ -240,19 +257,39 @@ class FIDEvaluator:
         feat_fn = self._load_disc_features_fn(init["disc_epoch"])
         real_feats = [feat_fn(x) for x in init["img_real_used"]]
 
+        if self.feature_source == "disc":
+            # Fused device-resident path: stage disc params + pinned z ONCE,
+            # then per epoch only the generator params go up and the tiny
+            # feature matrices come down (see _gen_feats for why).
+            disc_path = path.join(
+                self.dir_path, "models", "discriminator",
+                f"disc_model-{init['disc_epoch']}.msgpack",
+            )
+            d_vars = jax.device_put(load_params(disc_path))
+            zs_dev = [jax.device_put(z) for z in init["random_z_used"]]
+
+            def epoch_feats(epoch):
+                gen_path = path.join(
+                    self.dir_path, "models", "generator",
+                    f"gen_model-{epoch}.msgpack",
+                )
+                g_vars = jax.device_put(load_params(gen_path))
+                return [
+                    np.asarray(self._jit_gen_features(g_vars, d_vars, z))
+                    for z in zs_dev
+                ]
+        else:  # inception: keep the generic two-step path
+            def epoch_feats(epoch):
+                gen_fn = self._load_gen(epoch)
+                return [feat_fn(gen_fn(z)) for z in init["random_z_used"]]
+
         for epoch in init["epochs_used"]:
             if epoch in results:
                 continue  # resumability (generator_evaluation.py:155-157)
-            gen_fn = self._load_gen(epoch)
-            fids = []
-            for z, rf in zip(init["random_z_used"], real_feats):
-                fake = gen_fn(z)
-                if self.quirk_range_mismatch:
-                    fake = (fake + 1.0) / 2.0  # create_samples' [0,1] output
-                ff = feat_fn(fake)
-                fids.append(
-                    calculate_fid_from_features(ff, rf, self.sqrtm_method)
-                )
+            fids = [
+                calculate_fid_from_features(ff, rf, self.sqrtm_method)
+                for ff, rf in zip(epoch_feats(epoch), real_feats)
+            ]
             results[epoch] = fids
             with open(results_file, "wb") as f:
                 pickle.dump(results, f)
