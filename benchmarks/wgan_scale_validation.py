@@ -118,7 +118,7 @@ def fid_sweep(run_dir: Path, data_dir: Path, extractor_dir: Path,
         b = next(it).astype(np.float32) / 127.5 - 1.0
         reals.append(b)
         zs.append(np.asarray(
-            rnglib.normal_z(chain.at_step("wfid", i), b.shape[0], wcfg.z_size)
+            rnglib.normal_z(chain.at_step("eval", i), b.shape[0], wcfg.z_size)
         ))
     real_feats = [np.asarray(features(jnp.asarray(r))) for r in reals]
 
