@@ -53,7 +53,10 @@ def ref_artifacts(tmp_path_factory):
     )
     proc = subprocess.run(
         [sys.executable, str(worker), REF_ROOT, str(out)],
-        env=env, capture_output=True, text=True, timeout=560,
+        # 1500 like the CycleGAN worker: ~50 s idle, but under full-host
+        # contention (suite + a concurrent chip run's host threads) the
+        # single-threaded TF worker has been seen to blow a 560 s budget.
+        env=env, capture_output=True, text=True, timeout=1500,
     )
     assert proc.returncode == 0, f"worker failed:\n{proc.stderr[-4000:]}"
     return out
