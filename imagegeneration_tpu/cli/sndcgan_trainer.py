@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bf16", action="store_true", default=False)
     parser.add_argument("--mesh-data", type=int, default=0,
                         help="data-parallel devices (0 = single device)")
+    parser.add_argument("--mesh-spatial", type=int, default=1,
+                        help="spatial (image-H) partition factor on top of "
+                        "data parallelism — the config-5 scaling axis; total "
+                        "devices = mesh-data x mesh-spatial")
     parser.add_argument("--height", type=int, default=144)
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument("--z", type=int, dest="z_size", default=128)
@@ -94,7 +98,9 @@ def main(argv=None) -> None:
     mesh = None
     if args.mesh_data:
         maybe_init_distributed()
-        mesh = make_mesh(MeshConfig(data=args.mesh_data))
+        mesh = make_mesh(
+            MeshConfig(data=args.mesh_data, spatial=args.mesh_spatial)
+        )
 
     engine = SNDCGANEngine(
         args.dirPath,
@@ -113,6 +119,7 @@ def main(argv=None) -> None:
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         seed=args.seed,
         mesh=mesh,
+        spatial=args.mesh_spatial > 1,
         profile=args.profile,
         preview_frequency=args.preview_every,
     )

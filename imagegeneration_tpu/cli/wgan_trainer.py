@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="WGAN-GP gradient penalty weight (replaces weight clipping when > 0; reference default 0 = clipping)")
     parser.add_argument("--bf16", action="store_true", default=False)
     parser.add_argument("--mesh-data", type=int, default=0)
+    parser.add_argument("--mesh-spatial", type=int, default=1,
+                        help="spatial (image-H) partition factor on top of "
+                        "data parallelism")
     parser.add_argument("--height", type=int, default=144)
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument("--seed", type=int, default=62)
@@ -61,7 +64,9 @@ def main(argv=None) -> None:
     mesh = None
     if args.mesh_data:
         maybe_init_distributed()
-        mesh = make_mesh(MeshConfig(data=args.mesh_data))
+        mesh = make_mesh(
+            MeshConfig(data=args.mesh_data, spatial=args.mesh_spatial)
+        )
 
     engine = WGANEngine(
         args.data,
@@ -75,6 +80,7 @@ def main(argv=None) -> None:
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         seed=args.seed,
         mesh=mesh,
+        spatial=args.mesh_spatial > 1,
         profile=args.profile,
     )
     engine.train(args.epochs)

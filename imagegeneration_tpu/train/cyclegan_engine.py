@@ -60,6 +60,7 @@ class CycleGANEngine:
         dtype=jnp.float32,
         seed: int = rnglib.DEFAULT_MODEL_SEED,
         mesh=None,
+        spatial: bool = False,
         resident: bool | None = None,
         profile: bool = False,
     ) -> None:
@@ -79,6 +80,7 @@ class CycleGANEngine:
             self.loader = datalib.PairedDataset(dataset1_path, dataset2_path)
         self.batch_size = batch_size
         self.mesh = mesh
+        self.spatial = bool(spatial) and mesh is not None  # H-axis partitioning
 
         self.cfg = steplib.CycleGANTrainConfig(
             model=modellib.CycleGANConfig(
@@ -93,7 +95,9 @@ class CycleGANEngine:
 
         step_fn = steplib.make_train_step(self.cfg, mesh=mesh)
         if mesh is not None:
-            self._step = dp.shard_paired_train_step(step_fn, mesh, workload="cyclegan")
+            self._step = dp.shard_paired_train_step(
+                step_fn, mesh, spatial=self.spatial, workload="cyclegan"
+            )
             self.state = dp.replicate_state(self.state, mesh)
         else:
             self._step = jax.jit(
@@ -109,8 +113,8 @@ class CycleGANEngine:
         self.resident = resident
         self._epoch_runner = (
             dp.jit_epoch_runner(
-                steplib.make_epoch_runner(self.cfg, mesh=mesh), mesh, n_data=4,
-                workload="cyclegan"
+                steplib.make_epoch_runner(self.cfg, mesh=mesh, spatial=self.spatial),
+                mesh, n_data=4, workload="cyclegan"
             )
             if resident
             else None
@@ -198,8 +202,8 @@ class CycleGANEngine:
                 ):
                     bx, by = batch_x, batch_y
                     if self.mesh is not None:
-                        bx = meshlib.shard_batch(self.mesh, bx)
-                        by = meshlib.shard_batch(self.mesh, by)
+                        bx = meshlib.shard_batch(self.mesh, bx, spatial=self.spatial)
+                        by = meshlib.shard_batch(self.mesh, by, spatial=self.spatial)
                     self.state, m = self._step(self.state, bx, by)
                     device_metrics.append(m)
                     n_steps += 1

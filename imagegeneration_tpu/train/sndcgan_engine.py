@@ -69,6 +69,7 @@ class SNDCGANEngine:
         dtype=jnp.float32,
         seed: int = rnglib.DEFAULT_MODEL_SEED,
         mesh=None,
+        spatial: bool = False,
         resident: bool | None = None,
         profile: bool = False,
         preview_frequency: int = 1,
@@ -88,6 +89,10 @@ class SNDCGANEngine:
         self.batch_size = batch_size
         self.z_size = z_size
         self.mesh = mesh
+        # Spatial (H-axis) partitioning on top of DP — the config-5 scaling
+        # story (512x288), now reachable from the engine/CLI, not just the
+        # step API. Only meaningful under a mesh with a spatial axis > 1.
+        self.spatial = bool(spatial) and mesh is not None
 
         mcfg = modellib.SNDCGANConfig(
             image_size=image_size,
@@ -112,7 +117,9 @@ class SNDCGANEngine:
 
         step_fn = steplib.make_train_step(self.cfg, mesh=mesh)
         if mesh is not None:
-            self._step = dp.shard_train_step(step_fn, mesh, workload="sndcgan")
+            self._step = dp.shard_train_step(
+                step_fn, mesh, spatial=self.spatial, workload="sndcgan"
+            )
             self.state = dp.replicate_state(self.state, mesh)
         else:
             self._step = jax.jit(
@@ -127,8 +134,8 @@ class SNDCGANEngine:
         # replicated; each scanned batch is resharded in-program.
         self._epoch_runner = (
             dp.jit_epoch_runner(
-                steplib.make_epoch_runner(self.cfg, mesh=mesh), mesh, n_data=2,
-                workload="sndcgan"
+                steplib.make_epoch_runner(self.cfg, mesh=mesh, spatial=self.spatial),
+                mesh, n_data=2, workload="sndcgan"
             )
             if resident
             else None
@@ -201,7 +208,7 @@ class SNDCGANEngine:
         n = 0
         for i, batch in enumerate(batches):
             if self.mesh is not None:
-                batch = meshlib.shard_batch(self.mesh, batch)
+                batch = meshlib.shard_batch(self.mesh, batch, spatial=self.spatial)
             self.state, m = self._step(self.state, batch)
             device_metrics.append(m)  # stays on device; no per-batch sync
             n += 1

@@ -59,6 +59,7 @@ class WGANEngine:
         dtype=jnp.float32,
         seed: int = rnglib.DEFAULT_MODEL_SEED,
         mesh=None,
+        spatial: bool = False,
         resident: bool | None = None,
         profile: bool = False,
     ) -> None:
@@ -79,6 +80,7 @@ class WGANEngine:
         self.dataset = dataset
         self.batch_size = batch_size
         self.mesh = mesh
+        self.spatial = bool(spatial) and mesh is not None  # H-axis partitioning
 
         self.cfg = steplib.WGANTrainConfig(
             model=modellib.WGANConfig(
@@ -96,7 +98,9 @@ class WGANEngine:
 
         step_fn = steplib.make_train_step(self.cfg, mesh=mesh)
         if mesh is not None:
-            self._step = dp.shard_train_step(step_fn, mesh, workload="wgan")
+            self._step = dp.shard_train_step(
+                step_fn, mesh, spatial=self.spatial, workload="wgan"
+            )
             self.state = dp.replicate_state(self.state, mesh)
         else:
             self._step = jax.jit(
@@ -109,8 +113,8 @@ class WGANEngine:
         self.resident = resident
         self._epoch_runner = (
             dp.jit_epoch_runner(
-                steplib.make_epoch_runner(self.cfg, mesh=mesh), mesh, n_data=2,
-                workload="wgan"
+                steplib.make_epoch_runner(self.cfg, mesh=mesh, spatial=self.spatial),
+                mesh, n_data=2, workload="wgan"
             )
             if resident
             else None
@@ -249,7 +253,9 @@ class WGANEngine:
                 n_steps = 0
                 for j, batch in enumerate(batches):
                     if self.mesh is not None:
-                        batch = meshlib.shard_batch(self.mesh, batch)
+                        batch = meshlib.shard_batch(
+                            self.mesh, batch, spatial=self.spatial
+                        )
                     self.state, m = self._step(self.state, batch)
                     device_metrics.append(m)
                     n_steps += 1

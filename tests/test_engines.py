@@ -105,6 +105,48 @@ def test_sndcgan_engine_data_parallel(tmp_path, tiny_ds):
     eng.ckpt_manager.close()
 
 
+def test_sndcgan_engine_spatial_partitioning(tmp_path):
+    """Engine-level data x spatial integration (the config-5 axis, now
+    reachable via the engine/CLI `spatial` knob instead of only the step
+    API). 32x32 input: every per-shard feature-map extent stays >= the 3x3
+    halo at spatial=2 (the 16x16 degenerate regime is documented in
+    tests/test_parallel.py round 4). Numeric step-1 exactness is pinned in
+    test_parallel; this covers the engine wiring: spatial batch sharding on
+    both streaming and resident paths, replicated state, artifacts."""
+    import jax
+    import pytest as _pytest
+
+    if jax.device_count() < 8:
+        _pytest.skip("needs 8 virtual devices")
+    from imagegeneration_tpu.core.mesh import MeshConfig, make_mesh
+    from imagegeneration_tpu.train.sndcgan_engine import SNDCGANEngine
+
+    mesh = make_mesh(MeshConfig(data=4, spatial=2))
+    ds = SyntheticImageDataset(8, (32, 32), seed=3)
+    out = tmp_path / "sp"
+    eng = SNDCGANEngine(
+        str(out), ds, batch_size=4, dropout=0.0,
+        live_output=str(tmp_path / "live_sp"), image_size=(32, 32, 3),
+        z_size=8, base_width=16, mesh=mesh, spatial=True,
+    )
+    assert eng.spatial and eng.resident
+    eng.train(1, checkpoint_frequency=1)
+    assert (out / "losses.pickle").exists()
+    kernel = eng.state.g_params["stem"]["Dense_0"]["kernel"]
+    assert kernel.sharding.is_fully_replicated
+    eng.ckpt_manager.close()
+
+    # Streaming path takes the spatially-sharded shard_batch branch.
+    eng2 = SNDCGANEngine(
+        str(tmp_path / "sp_stream"), ds, batch_size=4, dropout=0.0,
+        live_output=str(tmp_path / "live_sp2"), image_size=(32, 32, 3),
+        z_size=8, base_width=16, mesh=mesh, spatial=True, resident=False,
+    )
+    eng2.train(1, checkpoint_frequency=1)
+    assert np.isfinite(eng2.losses.data["avg_g_loss"][-1])
+    eng2.ckpt_manager.close()
+
+
 def test_cyclegan_engine_train_and_autoresume(tmp_path):
     from imagegeneration_tpu.train.cyclegan_engine import CycleGANEngine
 
