@@ -287,12 +287,17 @@ def bench_sndcgan() -> dict:
         rstate = init_state(cfg)
         rstate, rmetrics = runner(rstate, imgs, perm)  # compile + warm
         jax.block_until_ready(rmetrics)
-        reps = 3
-        t0 = time.perf_counter()
-        for _ in range(reps):
+        # Best-of-reps, matching _time_steps_scan's methodology for the
+        # other families: each rep is one 64-step device-resident program,
+        # so min() excludes transient tunnel stalls between dispatches
+        # without ever averaging away real device time.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
             rstate, rmetrics = runner(rstate, imgs, perm)
             jax.block_until_ready(rmetrics)
-        steps_per_sec = reps * nb / (time.perf_counter() - t0)
+            best = min(best, time.perf_counter() - t0)
+        steps_per_sec = nb / best
     except Exception as e:  # never lose the bench line to the fast path
         print(f"[bench] resident scan failed ({e!r}); reporting dispatch loop")
         measured_path = "per_step_dispatch"
