@@ -84,16 +84,19 @@ def heldout_batch(seed: int, n: int, size: int, invert: bool) -> np.ndarray:
     return imgs.astype(np.float32) / 127.5 - 1.0
 
 
-def train_run(workdir: Path, da: Path, db: Path, epochs: int, size: int) -> Path:
+def train_run(workdir: Path, da: Path, db: Path, epochs: int, size: int,
+              seed: int | None = None, suffix: str = "") -> Path:
+    from imagegeneration_tpu.core import rng as rnglib
     from imagegeneration_tpu.train.cyclegan_engine import CycleGANEngine
 
-    run_dir = workdir / "cyclegan_run"
+    run_dir = workdir / f"cyclegan_run{suffix}"
     eng = CycleGANEngine(
         dataset1_path=str(da),
         dataset2_path=str(db),
         path_like=str(run_dir),
         batch_size=4,
         image_size=(size, size),
+        seed=seed if seed is not None else rnglib.DEFAULT_MODEL_SEED,
     )
     eng.train(epochs, checkpoint_frequency=5)
     return run_dir
@@ -184,6 +187,12 @@ def main() -> None:
     ap.add_argument("--workdir", default="/tmp/cyclegan_scale")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--sheet-out", default=None)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="model/training seed (VERDICT r4 #7: second-seed "
+                    "replication of the scale validation). Dataset seeds stay "
+                    "fixed (9/10) so both seeds train on identical domains. "
+                    "When set, the run dir and metrics pickle get a _s<seed> "
+                    "suffix.")
     args = ap.parse_args()
 
     import jax
@@ -199,13 +208,15 @@ def main() -> None:
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
     da, db = ensure_domains(workdir, args.n, args.size)
-    run_dir = workdir / "cyclegan_run"
+    suffix = f"_s{args.seed}" if args.seed is not None else ""
+    run_dir = workdir / f"cyclegan_run{suffix}"
     if not args.skip_train:
-        run_dir = train_run(workdir, da, db, args.epochs, args.size)
+        run_dir = train_run(workdir, da, db, args.epochs, args.size,
+                            seed=args.seed, suffix=suffix)
 
     sheet = Path(args.sheet_out) if args.sheet_out else None
     results = sweep(run_dir, args.size, sheet)
-    with open(workdir / "cyclegan_metrics.pickle", "wb") as f:
+    with open(workdir / f"cyclegan_metrics{suffix}.pickle", "wb") as f:
         pickle.dump(results, f)
     print(json.dumps(results, indent=2))
 

@@ -44,10 +44,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from stability_knob_study import ensure_dataset  # noqa: E402  (same dir)
 
 
-def train_run(workdir: Path, data_dir: Path, epochs: int) -> Path:
+def train_run(workdir: Path, data_dir: Path, epochs: int,
+              seed: int | None = None, suffix: str = "") -> Path:
+    from imagegeneration_tpu.core import rng as rnglib
     from imagegeneration_tpu.train.wgan_engine import WGANEngine
 
-    run_dir = workdir / "wgan_run"
+    run_dir = workdir / f"wgan_run{suffix}"
     eng = WGANEngine(
         dataset=str(data_dir / "landscape"),
         image_size=(144, 256, 3),
@@ -55,6 +57,7 @@ def train_run(workdir: Path, data_dir: Path, epochs: int) -> Path:
         critic_learn_iterations=5,
         path_like=str(run_dir),
         save_interval=5,
+        seed=seed if seed is not None else rnglib.DEFAULT_MODEL_SEED,
     )
     eng.train(epochs)
     return run_dir
@@ -146,6 +149,18 @@ def main() -> None:
                     "stability study's run_faithful_d2 in --workdir")
     ap.add_argument("--fid-step", type=int, default=1)
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="model/training seed (VERDICT r4 #7: second-seed "
+                    "replication). When set, the run dir and fids pickle get "
+                    "a _s<seed> suffix. Note the FID feature space is "
+                    "whatever extractor run exists/is trained in this "
+                    "session, so cross-session absolute FIDs are not "
+                    "comparable — the trend shape is the replication target.")
+    ap.add_argument("--train-extractor", action="store_true",
+                    help="train the SNDCGAN feature-extractor run "
+                    "(stability study's faithful_d2 config) first if the "
+                    "extractor dir has no discriminator exports — needed in "
+                    "fresh sessions where /tmp artifacts were reaped.")
     args = ap.parse_args()
 
     import jax
@@ -161,15 +176,29 @@ def main() -> None:
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
     data_dir = ensure_dataset(workdir, args.n, 144, 256)
-    run_dir = workdir / "wgan_run"
+    suffix = f"_s{args.seed}" if args.seed is not None else ""
+    run_dir = workdir / f"wgan_run{suffix}"
     if not args.skip_train or not run_dir.exists():
-        run_dir = train_run(workdir, data_dir, args.epochs)
+        run_dir = train_run(workdir, data_dir, args.epochs,
+                            seed=args.seed, suffix=suffix)
 
     extractor = Path(args.extractor_dir) if args.extractor_dir else (
         workdir / "run_faithful_d2"
     )
+    if args.train_extractor and not (
+        extractor / "models" / "discriminator"
+    ).is_dir():
+        from stability_knob_study import train_run as extractor_train
+
+        print(f"extractor missing at {extractor}; training faithful_d2 "
+              f"(default seed, so the feature space does not follow --seed)",
+              flush=True)
+        extractor = extractor_train(
+            extractor.parent, data_dir, extractor.name.removeprefix("run_"),
+            d_updates=2, epochs=args.epochs,
+        )
     results = fid_sweep(run_dir, data_dir, extractor, args.fid_step)
-    with open(workdir / "wgan_fids.pickle", "wb") as f:
+    with open(workdir / f"wgan_fids{suffix}.pickle", "wb") as f:
         pickle.dump(results, f)
     print(json.dumps(results, indent=2))
 

@@ -151,18 +151,48 @@ def load_image(
 
 @dataclasses.dataclass
 class ImageFolderDataset:
-    """Decoded-and-cached image folder with per-epoch reshuffled uint8 batches."""
+    """Decoded-and-cached image folder with per-epoch reshuffled uint8 batches.
+
+    Multi-host feeding (new in round 5; core/mesh.py has the mesh half):
+
+    - **Replicated-cache mode** (default, `shard=None`): every host decodes
+      the full folder once (the datasets at reference scale are <1 GB) and
+      per epoch all hosts compute the IDENTICAL global permutation; each
+      process materializes only its `rows=(lo, hi)` slice of every global
+      batch (`epoch_batches(rows=...)`). Batch composition — and therefore
+      the training trajectory — is bitwise the same as a single-process run.
+    - **Host-sharded mode** (`shard=(index, num_shards)`): each host decodes
+      only its contiguous slice of the (deterministic, label-ordered) file
+      list and per epoch shuffles it locally; `local_epoch_batches` yields
+      this host's rows of each global batch. O(dataset/P) host memory and
+      decode — the at-scale path. Global batches are then unions of per-host
+      samples (the standard pod input layout, e.g. tf.data service/grain);
+      statistically equivalent to, but not bitwise comparable with, the
+      single-process shuffle.
+    """
 
     root: str | Path
     image_size: tuple[int, int]  # (H, W)
     labeled: bool = True
     follow_links: bool = False
     seed: int = DEFAULT_DATA_SEED
+    shard: tuple[int, int] | None = None  # (shard_index, num_shards)
 
     def __post_init__(self) -> None:
         self.files, self.labels, self.class_names = list_image_files(
             self.root, self.labeled, self.follow_links
         )
+        if self.shard is not None:
+            i, n_shards = self.shard
+            if not 0 <= i < n_shards:
+                raise ValueError(f"bad shard {self.shard}")
+            # Deterministic contiguous split: every host derives the same
+            # boundaries from the same sorted file list, no coordination.
+            bounds = np.linspace(0, len(self.files), n_shards + 1).astype(int)
+            self._shard_sizes = np.diff(bounds)
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            self.files = self.files[lo:hi]
+            self.labels = self.labels[lo:hi]
         h, w = self.image_size
         n = len(self.files)
         self._images = np.empty((n, h, w, 3), dtype=np.uint8)
@@ -188,18 +218,59 @@ class ImageFolderDataset:
         epoch: int,
         drop_remainder: bool = True,
         with_labels: bool = False,
+        rows: tuple[int, int] | None = None,
     ) -> Iterator[np.ndarray] | Iterator[tuple[np.ndarray, np.ndarray]]:
-        """Yield uint8 (B,H,W,3) batches, reshuffled per epoch from seed."""
+        """Yield uint8 (B,H,W,3) batches, reshuffled per epoch from seed.
+
+        `rows=(lo, hi)`: yield only that row block of each global batch
+        (multi-host replicated-cache feeding — the permutation stays global
+        and identical on every host, see core/mesh.process_row_range)."""
+        if self.shard is not None:
+            raise ValueError(
+                "host-sharded dataset: use local_epoch_batches (the global "
+                "permutation does not exist on any single host)"
+            )
         rng = self._chain.numpy_rng("data", epoch)
         perm = rng.permutation(len(self))
         nb = self.num_batches(batch_size, drop_remainder)
+        lo, hi = rows if rows is not None else (0, batch_size)
         for b in range(nb):
-            idx = perm[b * batch_size : (b + 1) * batch_size]
+            idx = perm[b * batch_size : (b + 1) * batch_size][lo:hi]
             batch = self._images[idx]
             if with_labels:
                 yield batch, self._label_arr[idx]
             else:
                 yield batch
+
+    # ----------------------------------------------------- host-sharded mode
+    def num_local_batches(self, local_batch_size: int) -> int:
+        """Batches per epoch in host-sharded mode — computed from the
+        DETERMINISTIC shard boundaries, so every host (whatever its own
+        shard size) arrives at the same count and the SPMD programs stay in
+        lockstep (a host with one extra batch would deadlock the others'
+        collectives)."""
+        if self.shard is None:
+            raise ValueError("not a host-sharded dataset")
+        return int(self._shard_sizes.min()) // local_batch_size
+
+    def local_epoch_batches(
+        self, local_batch_size: int, epoch: int
+    ) -> Iterator[np.ndarray]:
+        """This host's rows of each global batch, drawn from its own shard
+        with a per-(epoch, shard) seeded local shuffle."""
+        if self.shard is None:
+            raise ValueError("not a host-sharded dataset")
+        import jax
+
+        key = jax.random.fold_in(
+            self._chain.at_step("data", epoch), self.shard[0]
+        )
+        rng = np.random.default_rng(
+            np.asarray(jax.random.key_data(key), dtype=np.uint32)
+        )
+        perm = rng.permutation(len(self))
+        for b in range(self.num_local_batches(local_batch_size)):
+            yield self._images[perm[b * local_batch_size : (b + 1) * local_batch_size]]
 
 
 class SyntheticImageDataset:
@@ -230,13 +301,18 @@ class SyntheticImageDataset:
         return n // batch_size if drop_remainder else -(-n // batch_size)
 
     def epoch_batches(
-        self, batch_size: int, epoch: int, drop_remainder: bool = True
+        self,
+        batch_size: int,
+        epoch: int,
+        drop_remainder: bool = True,
+        rows: tuple[int, int] | None = None,
     ) -> Iterator[np.ndarray]:
         rng = self._chain.numpy_rng("data", epoch)
         perm = rng.permutation(len(self))
         nb = self.num_batches(batch_size, drop_remainder)
+        lo, hi = rows if rows is not None else (0, batch_size)
         for b in range(nb):
-            yield self._images[perm[b * batch_size : (b + 1) * batch_size]]
+            yield self._images[perm[b * batch_size : (b + 1) * batch_size][lo:hi]]
 
 
 class PairedDataset:
@@ -254,10 +330,10 @@ class PairedDataset:
         )
 
     def epoch_batches(
-        self, batch_size: int, epoch: int
+        self, batch_size: int, epoch: int, rows: tuple[int, int] | None = None
     ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-        it_x = self.ds_x.epoch_batches(batch_size, epoch, True)
-        it_y = self.ds_y.epoch_batches(batch_size, epoch, True)
+        it_x = self.ds_x.epoch_batches(batch_size, epoch, True, rows=rows)
+        it_y = self.ds_y.epoch_batches(batch_size, epoch, True, rows=rows)
         for _ in range(self.num_batches(batch_size)):
             yield next(it_x), next(it_y)
 

@@ -96,5 +96,99 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: np.ndarray, spatial: bool = False) -> jax.Array:
-    """Place a host batch onto the mesh with the standard batch sharding."""
+    """Place a host batch onto the mesh with the standard batch sharding.
+
+    Single-process only: `batch` is the full GLOBAL batch living on this
+    host. Multi-host feeding goes through `process_row_range` +
+    `make_global_batch` instead (each process supplies only its rows)."""
     return jax.device_put(batch, batch_sharding(mesh, spatial))
+
+
+# --------------------------------------------------------------- multi-host
+# Per-host input feeding (new in round 5): on a multi-process pod no single
+# host holds a global batch, so the feeding contract becomes
+#
+#   lo, hi = process_row_range(mesh, global_batch_size)   # my rows
+#   local  = dataset.epoch_batches(B, epoch, rows=(lo, hi))  # decode my rows
+#   global_arr = make_global_batch(mesh, local_np)         # assemble on mesh
+#
+# `make_global_batch` uses jax.make_array_from_process_local_data, which
+# builds a *global* jax.Array from each process's shard with no cross-host
+# data movement (rows land directly on the supplying process's devices; the
+# batch sharding places row block d on mesh row d).
+
+
+def process_row_range(
+    mesh: Mesh, global_batch_size: int, spatial: bool = False
+) -> tuple[int, int]:
+    """Global-batch rows [lo, hi) that THIS process must supply.
+
+    With the batch sharded P('data'[, 'spatial']), row block d of the batch
+    lives on mesh row d. This process owns the rows of every mesh row that
+    contains one of its addressable devices. Requirements (both are how
+    meshes are laid out in practice, and both are checked):
+    - each mesh row's devices belong to ONE process (the spatial axis — conv
+      halo exchanges — must ride ICI inside a host, never DCN);
+    - this process's mesh rows are contiguous (make_array_from_process_local_data
+      assembles each process's rows as one block).
+    """
+    devs = mesh.devices.reshape(mesh.devices.shape[0], -1)
+    n_data = devs.shape[0]
+    if global_batch_size % n_data:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by data axis {n_data}"
+        )
+    pid = jax.process_index()
+    mine = []
+    for d in range(n_data):
+        procs = {dev.process_index for dev in devs[d]}
+        if pid in procs:
+            if procs != {pid}:
+                raise NotImplementedError(
+                    f"mesh row {d} spans processes {sorted(procs)}: the "
+                    "spatial axis must be process-local (halo exchanges on "
+                    "ICI); re-shape the mesh with data outermost per host"
+                )
+            mine.append(d)
+    if not mine:
+        raise ValueError(f"process {pid} owns no devices of this mesh")
+    if mine != list(range(mine[0], mine[-1] + 1)):
+        raise ValueError(
+            f"process {pid}'s mesh rows {mine} are not contiguous; use the "
+            "default make_mesh layout (jax.devices() order groups per process)"
+        )
+    per = global_batch_size // n_data
+    return mine[0] * per, (mine[-1] + 1) * per
+
+
+def make_global_batch(
+    mesh: Mesh, local_batch: np.ndarray, spatial: bool = False
+) -> jax.Array:
+    """Assemble a global batch from this process's row block.
+
+    Single-process: `local_batch` IS the global batch (plain shard_batch).
+    Multi-process: every process calls this with its `process_row_range`
+    rows; the result is one global jax.Array sharded over the mesh."""
+    if jax.process_count() == 1:
+        return shard_batch(mesh, local_batch, spatial)
+    return jax.make_array_from_process_local_data(
+        batch_sharding(mesh, spatial), np.asarray(local_batch)
+    )
+
+
+def make_replicated_global(mesh: Mesh, arr) -> jax.Array:
+    """Replicate a host array over the whole (possibly multi-process) mesh.
+
+    Every process must pass the SAME array (e.g. the resident uint8 dataset
+    decoded from a shared filesystem, or a seeded epoch permutation) — each
+    host's devices are fed from its own copy, no cross-host transfer."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, replicated(mesh))
+    return jax.make_array_from_process_local_data(
+        replicated(mesh), np.asarray(arr)
+    )
+
+
+def is_main_process() -> bool:
+    """True on the process that owns artifacts (checkpoints, previews, logs)."""
+    return jax.process_index() == 0

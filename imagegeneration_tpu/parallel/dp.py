@@ -44,7 +44,21 @@ def shard_train_step(
 
 
 def replicate_state(state, mesh: Mesh):
-    return jax.device_put(state, NamedSharding(mesh, P()))
+    """Replicate a (host or single-device) state pytree over the mesh.
+
+    Multi-process: device_put cannot write non-addressable shards, so each
+    process contributes its own full copy via
+    make_array_from_process_local_data (states are identical across
+    processes by the seeded-init/replicated-update construction)."""
+    ns = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(state, ns)
+    import numpy as np
+
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(ns, np.asarray(x)),
+        state,
+    )
 
 
 def jit_epoch_runner(runner: Callable, mesh: Mesh | None, n_data: int,

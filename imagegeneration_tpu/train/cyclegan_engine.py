@@ -63,21 +63,37 @@ class CycleGANEngine:
         spatial: bool = False,
         resident: bool | None = None,
         profile: bool = False,
+        host_sharded_data: bool = False,
     ) -> None:
         self.profile = profile
+        # Multi-host: process 0 owns artifacts/stdout (see sndcgan_engine).
+        self.is_main = meshlib.is_main_process()
         os.makedirs(path_like, exist_ok=True)
         os.makedirs(path.join(path_like, "models", "generator_f"), exist_ok=True)
         os.makedirs(path.join(path_like, "models", "generator_g"), exist_ok=True)
         self.preview_output = path.join(path_like, "preview")
         self.path = path_like
 
+        # Per-host input feeding (core/mesh.py "multi-host").
+        n_proc = jax.process_count()
+        self._feed_rows = None
+        if mesh is not None and n_proc > 1:
+            self._feed_rows = meshlib.process_row_range(mesh, batch_size)
+        shard = None
+        if host_sharded_data and n_proc > 1:
+            shard = (jax.process_index(), n_proc)
         w, h = image_size  # reference passes (img_width, img_height)
         if isinstance(dataset1_path, (str, os.PathLike)):
-            ds_x = datalib.ImageFolderDataset(dataset1_path, (h, w), labeled=False)
-            ds_y = datalib.ImageFolderDataset(dataset2_path, (h, w), labeled=False)
+            ds_x = datalib.ImageFolderDataset(
+                dataset1_path, (h, w), labeled=False, shard=shard
+            )
+            ds_y = datalib.ImageFolderDataset(
+                dataset2_path, (h, w), labeled=False, shard=shard
+            )
             self.loader = datalib.PairedDataset(ds_x, ds_y)
         else:
             self.loader = datalib.PairedDataset(dataset1_path, dataset2_path)
+        self.host_sharded = getattr(self.loader.ds_x, "shard", None) is not None
         self.batch_size = batch_size
         self.mesh = mesh
         self.spatial = bool(spatial) and mesh is not None  # H-axis partitioning
@@ -110,6 +126,8 @@ class CycleGANEngine:
                 self.loader.ds_x.images.nbytes + self.loader.ds_y.images.nbytes
                 < 2 * 1024**3
             )
+        if self.host_sharded:
+            resident = False  # no host holds the full dataset to replicate
         self.resident = resident
         self._epoch_runner = (
             dp.jit_epoch_runner(
@@ -137,11 +155,14 @@ class CycleGANEngine:
             if mesh is not None:
                 self.state = dp.replicate_state(self.state, mesh)
             self.epoch = self.ckpt_manager.latest_epoch()
-            print("Latest checkpoint restored!!")
+            if self.is_main:
+                print("Latest checkpoint restored!!")
         else:
             self.epoch = 0
-            print("No checkpoints were restored!!")
-        print("Initialized CycleGAN SUCCESS!")
+            if self.is_main:
+                print("No checkpoints were restored!!")
+        if self.is_main:
+            print("Initialized CycleGAN SUCCESS!")
 
     # ------------------------------------------------------------- preview
     def summarize_performance(self, input_g, input_f, output_g, output_f, label):
@@ -154,6 +175,13 @@ class CycleGANEngine:
     def plot_history(self) -> None:
         self.losses.plot(path.join(self.path, "plot_line_plot_loss.png"))
 
+    def _local_state(self):
+        """Host-local state for preview/translation/saving outside the mesh
+        programs (see SNDCGANEngine._local_state for the rationale)."""
+        if jax.process_count() > 1:
+            return jax.device_get(self.state)
+        return self.state
+
     # ---------------------------------------------------------------- train
     def train(self, epochs: int, checkpoint_frequency: int = 5) -> None:
         start_time = time()
@@ -164,12 +192,13 @@ class CycleGANEngine:
             watch.epoch_start()
             profiler.maybe_start(i, 1)
             epoch_label = i + self.epoch
-            print("####### Epoch", epoch_label, "#######")
+            if self.is_main:
+                print("####### Epoch", epoch_label, "#######")
 
             if self.resident:
                 if self._resident is None:
                     put = (
-                        (lambda x: dp.replicate_state(x, self.mesh))
+                        (lambda x: meshlib.make_replicated_global(self.mesh, x))
                         if self.mesh is not None else jax.device_put
                     )
                     self._resident = (
@@ -185,9 +214,18 @@ class CycleGANEngine:
                 perm_y = rng_y.permutation(len(self.loader.ds_y))[
                     : nb * self.batch_size
                 ].reshape(nb, self.batch_size)
+                if self.mesh is not None:
+                    perm_x_dev = meshlib.make_replicated_global(
+                        self.mesh, perm_x.astype(np.int32)
+                    )
+                    perm_y_dev = meshlib.make_replicated_global(
+                        self.mesh, perm_y.astype(np.int32)
+                    )
+                else:
+                    perm_x_dev = jnp.asarray(perm_x)
+                    perm_y_dev = jnp.asarray(perm_y)
                 self.state, metrics = self._epoch_runner(
-                    self.state, *self._resident,
-                    jnp.asarray(perm_x), jnp.asarray(perm_y),
+                    self.state, *self._resident, perm_x_dev, perm_y_dev,
                 )
                 metrics = jax.device_get(metrics)
                 agg = {k: float(np.mean(v)) for k, v in metrics.items()}
@@ -197,13 +235,32 @@ class CycleGANEngine:
             else:
                 device_metrics = []
                 n_steps = 0
-                for batch_x, batch_y in datalib.prefetch(
-                    self.loader.epoch_batches(self.batch_size, epoch_label), depth=2
-                ):
+                if self.host_sharded:
+                    local_bs = self._feed_rows[1] - self._feed_rows[0]
+                    it_x = self.loader.ds_x.local_epoch_batches(
+                        local_bs, epoch_label
+                    )
+                    it_y = self.loader.ds_y.local_epoch_batches(
+                        local_bs, epoch_label
+                    )
+                    nb_local = min(
+                        self.loader.ds_x.num_local_batches(local_bs),
+                        self.loader.ds_y.num_local_batches(local_bs),
+                    )
+                    it = ((next(it_x), next(it_y)) for _ in range(nb_local))
+                else:
+                    it = self.loader.epoch_batches(
+                        self.batch_size, epoch_label, rows=self._feed_rows
+                    )
+                for batch_x, batch_y in datalib.prefetch(it, depth=2):
                     bx, by = batch_x, batch_y
                     if self.mesh is not None:
-                        bx = meshlib.shard_batch(self.mesh, bx, spatial=self.spatial)
-                        by = meshlib.shard_batch(self.mesh, by, spatial=self.spatial)
+                        bx = meshlib.make_global_batch(
+                            self.mesh, bx, spatial=self.spatial
+                        )
+                        by = meshlib.make_global_batch(
+                            self.mesh, by, spatial=self.spatial
+                        )
                     self.state, m = self._step(self.state, bx, by)
                     device_metrics.append(m)
                     n_steps += 1
@@ -216,11 +273,13 @@ class CycleGANEngine:
 
             profiler.maybe_stop()
             perf = watch.epoch_report(n_steps, n_steps * self.batch_size)
-            metricslib.write_metrics_jsonl(
-                path.join(self.path, "perf.jsonl"),
-                {"epoch": epoch_label, **perf},
-            )
-            print(
+            if self.is_main:
+                metricslib.write_metrics_jsonl(
+                    path.join(self.path, "perf.jsonl"),
+                    {"epoch": epoch_label, **perf},
+                )
+            if self.is_main:
+                print(
                 f">Gen losses (g/f): {agg['gen_g_loss']:.4f}/{agg['gen_f_loss']:.4f},"
                 f" identity: {agg['identity_loss_g']:.4f}/{agg['identity_loss_f']:.4f},"
                 f" cycle: {agg['total_cycle_loss']:.4f},"
@@ -229,29 +288,33 @@ class CycleGANEngine:
                 f" passed time: {strftime('%H:%M:%S', gmtime(time() - start_time))}"
             )
 
-            # Preview: batch1 fed to BOTH generators (reference :408-409).
-            bx01 = (last_batch_x[0:2].astype(np.float32) / 127.5) - 1.0
-            by01 = (last_batch_y[0:2].astype(np.float32) / 127.5) - 1.0
-            out_g = self._translate_g(self.state, jnp.asarray(bx01))
-            out_f = self._translate_f(self.state, jnp.asarray(bx01))
-            self.summarize_performance(bx01, by01, out_g, out_f, epoch_label)
-
+            # Orbax saves are collective in multi-process mode: every
+            # process calls save; host-side artifacts stay on process 0.
             self.ckpt_manager.save(epoch_label + 1, self.state)
+            if self.is_main:
+                state = self._local_state()
+                # Preview: batch1 fed to BOTH generators (reference :408-409).
+                bx01 = (last_batch_x[0:2].astype(np.float32) / 127.5) - 1.0
+                by01 = (last_batch_y[0:2].astype(np.float32) / 127.5) - 1.0
+                out_g = self._translate_g(state, jnp.asarray(bx01))
+                out_f = self._translate_f(state, jnp.asarray(bx01))
+                self.summarize_performance(bx01, by01, out_g, out_f, epoch_label)
 
-            if epoch_label % checkpoint_frequency == 0:
-                ckptlib.export_params(
-                    path.join(
-                        self.path, "models", "generator_f",
-                        f"gen_weights_f-{epoch_label}.msgpack",
-                    ),
-                    {"params": self.state.gf_params},
-                )
-                ckptlib.export_params(
-                    path.join(
-                        self.path, "models", "generator_g",
-                        f"gen_weights_g-{epoch_label}.msgpack",
-                    ),
-                    {"params": self.state.gg_params},
-                )
-            self.losses.save()
-        self.plot_history()
+                if epoch_label % checkpoint_frequency == 0:
+                    ckptlib.export_params(
+                        path.join(
+                            self.path, "models", "generator_f",
+                            f"gen_weights_f-{epoch_label}.msgpack",
+                        ),
+                        {"params": state.gf_params},
+                    )
+                    ckptlib.export_params(
+                        path.join(
+                            self.path, "models", "generator_g",
+                            f"gen_weights_g-{epoch_label}.msgpack",
+                        ),
+                        {"params": state.gg_params},
+                    )
+                self.losses.save()
+        if self.is_main:
+            self.plot_history()

@@ -73,19 +73,36 @@ class SNDCGANEngine:
         resident: bool | None = None,
         profile: bool = False,
         preview_frequency: int = 1,
+        host_sharded_data: bool = False,
     ) -> None:
         self.profile = profile
         self.preview_frequency = max(1, preview_frequency)
-        if not continue_ and os.path.exists(dir_path):
+        # Multi-host: process 0 owns every artifact (dir scaffold, previews,
+        # checkpoints, history, stdout); the state is replicated so its host
+        # copy is complete. Other processes only feed and compute.
+        self.is_main = meshlib.is_main_process()
+        if self.is_main and not continue_ and os.path.exists(dir_path):
             shutil.rmtree(dir_path)
         os.makedirs(dir_path, exist_ok=True)
         self.dir_path = dir_path
 
+        # Per-host input feeding (see core/mesh.py "multi-host"): with >1
+        # process each host supplies only its process_row_range rows of each
+        # global batch. host_sharded_data additionally shards the DECODE
+        # (each host caches only its slice of the folder; local shuffle).
+        n_proc = jax.process_count()
+        self._feed_rows = None
+        if mesh is not None and n_proc > 1:
+            self._feed_rows = meshlib.process_row_range(mesh, batch_size)
         if isinstance(dataset, (str, os.PathLike)):
+            shard = None
+            if host_sharded_data and n_proc > 1:
+                shard = (jax.process_index(), n_proc)
             dataset = datalib.ImageFolderDataset(
-                dataset, image_size[:2], labeled=True
+                dataset, image_size[:2], labeled=True, shard=shard
             )
         self.dataset = dataset
+        self.host_sharded = getattr(dataset, "shard", None) is not None
         self.batch_size = batch_size
         self.z_size = z_size
         self.mesh = mesh
@@ -129,6 +146,8 @@ class SNDCGANEngine:
             )
         if resident is None:
             resident = self.dataset.images.nbytes < 2 * 1024**3
+        if self.host_sharded:
+            resident = False  # no host holds the full dataset to replicate
         self.resident = resident
         # state replicated+donated, dataset replicated in HBM, perm
         # replicated; each scanned batch is resharded in-program.
@@ -157,30 +176,39 @@ class SNDCGANEngine:
             if mesh is not None:
                 self.state = dp.replicate_state(self.state, mesh)
             self.start_epoch = self.ckpt_manager.latest_epoch() + 1
-            print("Latest checkpoint restored!!")
+            if self.is_main:
+                print("Latest checkpoint restored!!")
         else:
             self.start_epoch = 0
-            print("No checkpoints were restored!!")
+            if self.is_main:
+                print("No checkpoints were restored!!")
 
         n_g = sum(x.size for x in jax.tree.leaves(self.state.g_params))
         n_d = sum(x.size for x in jax.tree.leaves(self.state.d_params))
-        print(f"Generator params: {n_g:,} | Discriminator params: {n_d:,}")
-        print("\nInitialized SNDCGAN successfully!\n")
+        if self.is_main:
+            print(f"Generator params: {n_g:,} | Discriminator params: {n_d:,}")
+            print("\nInitialized SNDCGAN successfully!\n")
 
     # ------------------------------------------------------------------ io
     def plot_history(self) -> None:
         self.losses.plot(path.join(self.dir_path, "plot_line_plot_loss.png"))
 
     def _save_artifacts(self, epoch: int) -> None:
+        # Orbax saves are collective in multi-process mode (the manager runs
+        # its own cross-process barriers), so EVERY process calls save; the
+        # host-side artifacts (history, exports, plots) stay on process 0.
         self.ckpt_manager.save(epoch, self.state)
+        if not self.is_main:
+            return
+        state = self._local_state()
         self.losses.save()
         ckptlib.export_params(
             path.join(
                 self.dir_path, "models", "generator", f"gen_model-{epoch}.msgpack"
             ),
             {
-                "params": self.state.g_params,
-                "batch_stats": self.state.g_batch_stats,
+                "params": state.g_params,
+                "batch_stats": state.g_batch_stats,
             },
         )
         ckptlib.export_params(
@@ -190,34 +218,53 @@ class SNDCGANEngine:
                 "discriminator",
                 f"disc_model-{epoch}.msgpack",
             ),
-            {"params": self.state.d_params, "spectral": self.state.d_spectral},
+            {"params": state.d_params, "spectral": state.d_spectral},
         )
         self.plot_history()
 
+    def _local_state(self):
+        """State usable OUTSIDE the mesh-global programs (sampling, saving).
+
+        Multi-process: the replicated global state is pulled to host once
+        (device_get is defined for fully-replicated arrays) so process 0 can
+        sample/save on its own devices without entering a cross-process
+        program that the other processes never join (deadlock)."""
+        if jax.process_count() > 1:
+            return jax.device_get(self.state)
+        return self.state
+
     def sample(self, z: jax.Array) -> np.ndarray:
         """G(z) in [0,1] (generator_output.create_samples semantics)."""
-        return np.asarray(self._sample(self.state, z))
+        return np.asarray(self._sample(self._local_state(), z))
 
     # --------------------------------------------------------------- train
     def _run_epoch_streaming(self, epoch: int):
         device_metrics = []
-        batches = datalib.prefetch(
-            self.dataset.epoch_batches(self.batch_size, epoch), depth=2
-        )
+        if self.host_sharded:
+            local_bs = self._feed_rows[1] - self._feed_rows[0]
+            it = self.dataset.local_epoch_batches(local_bs, epoch)
+        else:
+            it = self.dataset.epoch_batches(
+                self.batch_size, epoch, rows=self._feed_rows
+            )
+        batches = datalib.prefetch(it, depth=2)
         batch_start_time = time()
         n = 0
         for i, batch in enumerate(batches):
             if self.mesh is not None:
-                batch = meshlib.shard_batch(self.mesh, batch, spatial=self.spatial)
+                batch = meshlib.make_global_batch(
+                    self.mesh, batch, spatial=self.spatial
+                )
             self.state, m = self._step(self.state, batch)
             device_metrics.append(m)  # stays on device; no per-batch sync
             n += 1
-            print(
-                f"\r>Batch {i:03d}, passed time: "
-                f"{strftime('%M:%S', gmtime(time() - batch_start_time))}",
-                end="",
-                flush=True,
-            )
+            if self.is_main:
+                print(
+                    f"\r>Batch {i:03d}, passed time: "
+                    f"{strftime('%M:%S', gmtime(time() - batch_start_time))}",
+                    end="",
+                    flush=True,
+                )
         stacked = jax.device_get(device_metrics)
         agg = {
             k: float(np.mean([d[k] for d in stacked]))
@@ -228,9 +275,10 @@ class SNDCGANEngine:
     def _run_epoch_resident(self, epoch: int):
         if self._resident_images is None:
             if self.mesh is not None:
-                self._resident_images = jax.device_put(
-                    self.dataset.images,
-                    NamedSharding(self.mesh, PartitionSpec()),
+                # Replicated HBM dataset; multi-process-safe (every host
+                # feeds its own devices from its own full decode cache).
+                self._resident_images = meshlib.make_replicated_global(
+                    self.mesh, self.dataset.images
                 )
             else:
                 self._resident_images = jax.device_put(self.dataset.images)
@@ -238,8 +286,14 @@ class SNDCGANEngine:
         perm = rng.permutation(len(self.dataset))
         nb = self.dataset.num_batches(self.batch_size)
         perm = perm[: nb * self.batch_size].reshape(nb, self.batch_size)
+        if self.mesh is not None:
+            perm = meshlib.make_replicated_global(
+                self.mesh, perm.astype(np.int32)
+            )
+        else:
+            perm = jnp.asarray(perm)
         self.state, metrics = self._epoch_runner(
-            self.state, self._resident_images, jnp.asarray(perm)
+            self.state, self._resident_images, perm
         )
         metrics = jax.device_get(metrics)
         agg = {k: float(np.mean(v)) for k, v in metrics.items()}
@@ -261,10 +315,11 @@ class SNDCGANEngine:
 
             profiler.maybe_stop()
             perf = watch.epoch_report(n_steps, n_steps * self.batch_size)
-            metricslib.write_metrics_jsonl(
-                path.join(self.dir_path, "perf.jsonl"),
-                {"epoch": epoch, **perf},
-            )
+            if self.is_main:
+                metricslib.write_metrics_jsonl(
+                    path.join(self.dir_path, "perf.jsonl"),
+                    {"epoch": epoch, **perf},
+                )
 
             local["epoch"].append(epoch)
             local["avg_g_loss"].append(agg["g_loss"])
@@ -285,12 +340,13 @@ class SNDCGANEngine:
                     perf["steps_per_sec"],
                 )
             )
-            print("\r" + info_text)
+            if self.is_main:
+                print("\r" + info_text)
 
             # Per-epoch preview like the reference (SNDCGAN.py:311-314); on
             # slow hosts matplotlib rendering can exceed the epoch's TPU time,
             # so the cadence is configurable (preview_frequency=1 == faithful).
-            if epoch % self.preview_frequency == 0:
+            if self.is_main and epoch % self.preview_frequency == 0:
                 n_preview = 3
                 fixed_z = rnglib.uniform_z(
                     self.chain.at_step("preview", epoch), n_preview, self.z_size

@@ -62,22 +62,33 @@ class WGANEngine:
         spatial: bool = False,
         resident: bool | None = None,
         profile: bool = False,
+        host_sharded_data: bool = False,
     ) -> None:
         self.profile = profile
         self.save_interval = save_interval
         self.path = path_like
-        if not load:
-            if path.exists(path_like):
-                shutil.rmtree(path_like)
-            os.makedirs(path.join(path_like, "g_models"))
-            os.makedirs(path.join(path_like, "c_models"))
-            os.makedirs(path.join(path_like, "samples"))
+        # Multi-host: process 0 owns artifacts/stdout (see sndcgan_engine).
+        self.is_main = meshlib.is_main_process()
+        if not load and self.is_main and path.exists(path_like):
+            shutil.rmtree(path_like)
+        for sub in ("g_models", "c_models", "samples"):
+            os.makedirs(path.join(path_like, sub), exist_ok=True)
 
+        # Per-host input feeding (core/mesh.py "multi-host").
+        n_proc = jax.process_count()
+        self._feed_rows = None
+        if mesh is not None and n_proc > 1:
+            self._feed_rows = meshlib.process_row_range(mesh, batch_size)
         if isinstance(dataset, (str, os.PathLike)):
+            shard = None
+            if host_sharded_data and n_proc > 1:
+                shard = (jax.process_index(), n_proc)
             dataset = datalib.ImageFolderDataset(
-                dataset, image_size[:2], labeled=False, follow_links=True
+                dataset, image_size[:2], labeled=False, follow_links=True,
+                shard=shard,
             )
         self.dataset = dataset
+        self.host_sharded = getattr(dataset, "shard", None) is not None
         self.batch_size = batch_size
         self.mesh = mesh
         self.spatial = bool(spatial) and mesh is not None  # H-axis partitioning
@@ -110,6 +121,8 @@ class WGANEngine:
             )
         if resident is None:
             resident = self.dataset.images.nbytes < 2 * 1024**3
+        if self.host_sharded:
+            resident = False  # no host holds the full dataset to replicate
         self.resident = resident
         self._epoch_runner = (
             dp.jit_epoch_runner(
@@ -134,21 +147,36 @@ class WGANEngine:
             if mesh is not None:
                 self.state = dp.replicate_state(self.state, mesh)
             self.epoch = self.ckpt_manager.latest_epoch()
-            print("Restored WGAN state at epoch", self.epoch)
+            if self.is_main:
+                print("Restored WGAN state at epoch", self.epoch)
         else:
             self.epoch = 0
 
-        print("Initialized WGAN SUCCESS!")
+        if self.is_main:
+            print("Initialized WGAN SUCCESS!")
 
     # ------------------------------------------------------------- sampling
+    def _local_state(self):
+        """Host-local state for sampling/saving outside the mesh programs
+        (see SNDCGANEngine._local_state for the multi-process rationale)."""
+        if jax.process_count() > 1:
+            return jax.device_get(self.state)
+        return self.state
+
     def generate_fake_samples(self, n_samples: int) -> np.ndarray:
         """n fake images in [0,1] via the 'preview' stream (WGAN.py:220-227)."""
         z = rnglib.normal_z(
             self.chain.at_step("preview", self.epoch), n_samples, self.latent_dim
         )
-        return np.asarray(self._sample(self.state, z))
+        return np.asarray(self._sample(self._local_state(), z))
 
     def summarize_performance(self, step: int, n_samples: int = 100) -> None:
+        # Orbax saves are collective in multi-process mode: every process
+        # calls save; the host-side artifacts stay on process 0.
+        self.ckpt_manager.save(step, self.state)
+        if not self.is_main:
+            return
+        state = self._local_state()
         x = self.generate_fake_samples(n_samples)
         previewlib.sample_grid(
             x, 10, 10, path.join(self.path, "samples", f"generated_plot_{step:04d}.jpg")
@@ -167,13 +195,12 @@ class WGANEngine:
         fname = f"model_{step:04d}.msgpack"
         ckptlib.export_params(
             path.join(self.path, "g_models", fname),
-            {"params": self.state.g_params, "batch_stats": self.state.g_batch_stats},
+            {"params": state.g_params, "batch_stats": state.g_batch_stats},
         )
         ckptlib.export_params(
             path.join(self.path, "c_models", fname),
-            {"params": self.state.c_params, "batch_stats": self.state.c_batch_stats},
+            {"params": state.c_params, "batch_stats": state.c_batch_stats},
         )
-        self.ckpt_manager.save(step, self.state)
         print(f">Saved: generated_plot_{step:04d}.jpg and {fname}")
 
     def plot_history(self) -> None:
@@ -221,14 +248,17 @@ class WGANEngine:
             self.epoch += 1
             watch.epoch_start()
             profiler.maybe_start(self.epoch, first_real_epoch)
-            print(
-                f"####### Epoch {self.epoch} "
-                f"Time: {strftime('%H:%M:%S', gmtime(time() - start_time))} #######"
-            )
+            if self.is_main:
+                print(
+                    f"####### Epoch {self.epoch} "
+                    f"Time: {strftime('%H:%M:%S', gmtime(time() - start_time))} #######"
+                )
             if self.resident:
                 if self._resident_images is None:
                     self._resident_images = (
-                        dp.replicate_state(self.dataset.images, self.mesh)
+                        meshlib.make_replicated_global(
+                            self.mesh, self.dataset.images
+                        )
                         if self.mesh is not None
                         else jax.device_put(self.dataset.images)
                     )
@@ -236,8 +266,14 @@ class WGANEngine:
                 perm = rng.permutation(len(self.dataset))
                 nb = self.dataset.num_batches(self.batch_size)
                 perm = perm[: nb * self.batch_size].reshape(nb, self.batch_size)
+                if self.mesh is not None:
+                    perm = meshlib.make_replicated_global(
+                        self.mesh, perm.astype(np.int32)
+                    )
+                else:
+                    perm = jnp.asarray(perm)
                 self.state, metrics = self._epoch_runner(
-                    self.state, self._resident_images, jnp.asarray(perm)
+                    self.state, self._resident_images, perm
                 )
                 metrics = jax.device_get(metrics)
                 self._fold_metrics(
@@ -247,13 +283,18 @@ class WGANEngine:
                 n_steps = nb
             else:
                 device_metrics = []
-                batches = datalib.prefetch(
-                    self.dataset.epoch_batches(self.batch_size, self.epoch), depth=2
-                )
+                if self.host_sharded:
+                    local_bs = self._feed_rows[1] - self._feed_rows[0]
+                    it = self.dataset.local_epoch_batches(local_bs, self.epoch)
+                else:
+                    it = self.dataset.epoch_batches(
+                        self.batch_size, self.epoch, rows=self._feed_rows
+                    )
+                batches = datalib.prefetch(it, depth=2)
                 n_steps = 0
                 for j, batch in enumerate(batches):
                     if self.mesh is not None:
-                        batch = meshlib.shard_batch(
+                        batch = meshlib.make_global_batch(
                             self.mesh, batch, spatial=self.spatial
                         )
                     self.state, m = self._step(self.state, batch)
@@ -268,10 +309,11 @@ class WGANEngine:
                 )
             profiler.maybe_stop()
             perf = watch.epoch_report(n_steps, n_steps * self.batch_size)
-            metricslib.write_metrics_jsonl(
-                path.join(self.path, "perf.jsonl"), {"epoch": self.epoch, **perf}
-            )
-            if self.loss_hist.data["c1_hist"]:
+            if self.is_main:
+                metricslib.write_metrics_jsonl(
+                    path.join(self.path, "perf.jsonl"), {"epoch": self.epoch, **perf}
+                )
+            if self.is_main and self.loss_hist.data["c1_hist"]:
                 print(
                     ">RealLoss=%.3f, FakeLoss=%.3f GeneratorLoss=%.3f | %.2f steps/s"
                     % (
@@ -282,4 +324,5 @@ class WGANEngine:
                     )
                 )
             self.summarize_performance(self.epoch)
-        self.plot_history()
+        if self.is_main:
+            self.plot_history()

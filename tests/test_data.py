@@ -90,3 +90,59 @@ def test_normalize_on_device():
     x = np.asarray([[0, 127.5, 255]], dtype=np.float64).astype(np.uint8)
     y = np.asarray(normalize_on_device(jnp.asarray(x)))
     np.testing.assert_allclose(y, [[-1.0, -0.00392157, 1.0]], atol=1e-6)
+
+
+def test_epoch_batches_rows_slicing(image_root):
+    """Multi-host replicated-cache feeding: rows=(lo, hi) yields exactly
+    that block of each global batch — concatenating the two halves rebuilds
+    the full-batch stream byte-for-byte."""
+    ds = ImageFolderDataset(image_root, (16, 24))
+    full = list(ds.epoch_batches(4, epoch=3))
+    lo = list(ds.epoch_batches(4, epoch=3, rows=(0, 2)))
+    hi = list(ds.epoch_batches(4, epoch=3, rows=(2, 4)))
+    assert len(full) == len(lo) == len(hi)
+    for f, a, b in zip(full, lo, hi):
+        assert a.shape == (2, 16, 24, 3)
+        np.testing.assert_array_equal(np.concatenate([a, b]), f)
+
+    s = SyntheticImageDataset(12, (8, 8), seed=1)
+    full = list(s.epoch_batches(4, epoch=0))
+    parts = [list(s.epoch_batches(4, epoch=0, rows=(i, i + 2)))
+             for i in (0, 2)]
+    for f, a, b in zip(full, *parts):
+        np.testing.assert_array_equal(np.concatenate([a, b]), f)
+
+
+def test_host_sharded_dataset(image_root):
+    """Host-sharded decode: the two shards partition the deterministic file
+    list, each host caches only its slice, local batches draw only from it,
+    and num_local_batches agrees across shards (SPMD lockstep)."""
+    s0 = ImageFolderDataset(image_root, (16, 24), shard=(0, 2))
+    s1 = ImageFolderDataset(image_root, (16, 24), shard=(1, 2))
+    full = ImageFolderDataset(image_root, (16, 24))
+    assert len(s0) + len(s1) == len(full) == 12
+    assert [str(f) for f in s0.files] + [str(f) for f in s1.files] == [
+        str(f) for f in full.files
+    ]
+    np.testing.assert_array_equal(
+        np.concatenate([s0.images, s1.images]), full.images
+    )
+    assert s0.num_local_batches(2) == s1.num_local_batches(2) == 3
+
+    # Local batches: drawn from the own shard only, reshuffled per epoch,
+    # different streams per shard.
+    def flat(batches):
+        return np.concatenate(list(batches))
+
+    b0 = flat(s0.local_epoch_batches(2, epoch=0))
+    assert b0.shape == (6, 16, 24, 3)
+    keys0 = {x.tobytes() for x in s0.images}
+    assert all(x.tobytes() in keys0 for x in b0)
+    b0b = flat(s0.local_epoch_batches(2, epoch=1))
+    assert not np.array_equal(b0, b0b)  # reshuffled across epochs
+    np.testing.assert_array_equal(
+        b0, flat(s0.local_epoch_batches(2, epoch=0)))  # deterministic
+
+    # Global epoch_batches is refused (no host holds the global permutation).
+    with pytest.raises(ValueError):
+        next(s0.epoch_batches(4, 0))
