@@ -94,6 +94,20 @@ def main() -> None:
         outs = gan.train_step(
             tf.constant(real), tf.constant(z_steps[s])
         )
+        if s == 0:
+            # Post-step-1 weights: the regime where Adam's update is
+            # ~±lr·sign(g) and cross-framework fp chaos is still confined to
+            # isolated sign flips — the count-robust parity gate's target
+            # (see test_weights_after_steps_parity's docstring and
+            # benchmarks/diag_parity_flake.py).
+            gan.gen_model.save(
+                os.path.join(out, "gen_after1.h5"), include_optimizer=False,
+                save_format="h5",
+            )
+            gan.disc_model.save(
+                os.path.join(out, "disc_after1.h5"), include_optimizer=False,
+                save_format="h5",
+            )
         g_loss, d_loss, d_loss_real, d_loss_fake, lr_real, lr_fake = outs
         traj["g_loss"].append(float(g_loss.numpy()))
         traj["d_loss"].append(float(d_loss.numpy()))
