@@ -192,3 +192,46 @@ def make_replicated_global(mesh: Mesh, arr) -> jax.Array:
 def is_main_process() -> bool:
     """True on the process that owns artifacts (checkpoints, previews, logs)."""
     return jax.process_index() == 0
+
+
+def check_spatial_partition(
+    min_sharded_h: int, spatial: int, family: str, image_h: int
+) -> None:
+    """Refuse spatial-sharding requests in the measured-degenerate regime.
+
+    Round 4 measured (tests/test_parallel.py degenerate-regime docstrings;
+    docs/STATUS.md round 4) that GSPMD produces SILENTLY WRONG numerics when
+    a spatially-sharded conv's per-shard H extent falls below its kernel
+    halo: at 1 row/shard the forward loss is ~0.3% off and conv gradients
+    come out exactly 1/axis_size x. At >=2 rows/shard for every conv of the
+    family's stride-2 cascade the programs are bit-exact. The engines'
+    mesh tests stay out of that regime; this guard keeps USERS out of it
+    too (VERDICT r4 #3): `min_sharded_h` is the family's smallest
+    spatially-sharded feature height (models.*.min_sharded_height) and the
+    request is refused unless every shard keeps >= 2 rows, evenly.
+
+    Escape hatch: IMAGEGEN_ALLOW_DEGENERATE_SPATIAL=1 downgrades to a loud
+    warning (e.g. to reproduce the miscompile itself,
+    benchmarks/spmd_miscompile_repro.py).
+    """
+    if spatial <= 1:
+        return
+    extent, rem = divmod(min_sharded_h, spatial)
+    if extent >= 2 and rem == 0:
+        return
+    msg = (
+        f"{family}: --mesh-spatial {spatial} at image height {image_h} "
+        f"leaves {extent} row(s) (+{rem} remainder) per shard on the "
+        f"deepest sharded feature map (H={min_sharded_h}). GSPMD's "
+        "halo/reduction resolution is measurably WRONG below 2 even rows "
+        "per shard (forward ~0.3% off, gradients exactly 1/axis_size x — "
+        "see core/mesh.check_spatial_partition docstring). Use a larger "
+        "image, fewer spatial shards, or set "
+        "IMAGEGEN_ALLOW_DEGENERATE_SPATIAL=1 to proceed anyway."
+    )
+    if os.environ.get("IMAGEGEN_ALLOW_DEGENERATE_SPATIAL") == "1":
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        return
+    raise ValueError(msg)

@@ -132,3 +132,14 @@ def make_models(cfg: CycleGANConfig):
     reference builds two independent generator/discriminator pairs
     (CycleGAN.py:235-239)."""
     return Generator(cfg), Generator(cfg), Discriminator(cfg), Discriminator(cfg)
+
+
+def min_sharded_height(cfg: CycleGANConfig) -> int:
+    """Smallest feature height of the stride-2 cascade that stays
+    spatially sharded: the generator's two d_conv downsamples (H/4, where
+    all 9 res blocks run). The PatchGAN's deeper VALID maps get tiny (6 rows
+    at 128px) but were measured bit-exact under the 4x2 mesh at 96px in the
+    f64 final-state tests (GSPMD re-replicates them); the measured-wrong
+    regime is the strided halo cascade, which this bound tracks. Input to
+    core/mesh.check_spatial_partition."""
+    return cfg.image_size[0] // 4

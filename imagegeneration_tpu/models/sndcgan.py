@@ -201,3 +201,10 @@ class Discriminator(fnn.Module):
 
 def make_models(cfg: SNDCGANConfig) -> tuple[Generator, Discriminator]:
     return Generator(cfg), Discriminator(cfg)
+
+
+def min_sharded_height(cfg: SNDCGANConfig) -> int:
+    """Smallest spatially-sharded feature height: the discriminator's three
+    4x4 s2 convs (and the generator's H/8 stem start) bottom out at H/8.
+    Input to core/mesh.check_spatial_partition (degenerate-GSPMD guard)."""
+    return cfg.image_size[0] // 8

@@ -146,3 +146,10 @@ def critic_bn_mask(c_params: Any) -> Any:
 
 def make_models(cfg: WGANConfig) -> tuple[Generator, Critic]:
     return Generator(cfg), Critic(cfg)
+
+
+def min_sharded_height(cfg: WGANConfig) -> int:
+    """Smallest spatially-sharded feature height: the critic's three 4x4 s2
+    convs (and the generator's H/8 stem) bottom out at H/8. Input to
+    core/mesh.check_spatial_partition (degenerate-GSPMD guard)."""
+    return cfg.image_size[0] // 8

@@ -98,6 +98,11 @@ class CycleGANEngine:
         self.mesh = mesh
         self.spatial = bool(spatial) and mesh is not None  # H-axis partitioning
 
+        if self.spatial:
+            meshlib.check_spatial_partition(
+                h // 4, int(mesh.shape[meshlib.SPATIAL_AXIS]),
+                "cyclegan", h,
+            )
         self.cfg = steplib.CycleGANTrainConfig(
             model=modellib.CycleGANConfig(
                 image_size=(h, w, 3), base_width=base_width,

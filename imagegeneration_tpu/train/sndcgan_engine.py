@@ -111,6 +111,11 @@ class SNDCGANEngine:
         # step API. Only meaningful under a mesh with a spatial axis > 1.
         self.spatial = bool(spatial) and mesh is not None
 
+        if self.spatial:
+            meshlib.check_spatial_partition(
+                image_size[0] // 8, int(mesh.shape[meshlib.SPATIAL_AXIS]),
+                "sndcgan", image_size[0],
+            )
         mcfg = modellib.SNDCGANConfig(
             image_size=image_size,
             z_size=z_size,

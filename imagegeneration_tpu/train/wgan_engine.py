@@ -93,6 +93,11 @@ class WGANEngine:
         self.mesh = mesh
         self.spatial = bool(spatial) and mesh is not None  # H-axis partitioning
 
+        if self.spatial:
+            meshlib.check_spatial_partition(
+                image_size[0] // 8, int(mesh.shape[meshlib.SPATIAL_AXIS]),
+                "wgan", image_size[0],
+            )
         self.cfg = steplib.WGANTrainConfig(
             model=modellib.WGANConfig(
                 image_size=image_size, base_width=base_width, dtype=dtype

@@ -517,3 +517,39 @@ def test_graft_entry_single():
     # compile-check only (tiny eval_shape avoids the heavy full-size compile)
     out_shape = jax.eval_shape(fn, state, batch)
     assert out_shape is not None
+
+
+def test_degenerate_spatial_regime_refused(tmp_path, monkeypatch):
+    """VERDICT r4 #3: the measured-wrong GSPMD regime (per-shard H extent
+    below the conv halo — see core/mesh.check_spatial_partition) must be
+    REFUSED at engine setup, not silently mis-trained. 16x16 input under
+    spatial=2 leaves 1 row/shard on the deepest 4x4-stride-2 feature map
+    (16/8/2) — exactly the configuration round 4 measured as wrong."""
+    from imagegeneration_tpu.core.data import SyntheticImageDataset
+    from imagegeneration_tpu.core.mesh import check_spatial_partition
+    from imagegeneration_tpu.train.wgan_engine import WGANEngine
+    from imagegeneration_tpu.train.sndcgan_engine import SNDCGANEngine
+
+    mesh = make_mesh(MeshConfig(data=4, spatial=2))
+    ds = SyntheticImageDataset(8, (16, 16), seed=3)
+    with pytest.raises(ValueError, match="WRONG below 2"):
+        WGANEngine(
+            dataset=ds, image_size=(16, 16, 3), batch_size=8,
+            path_like=str(tmp_path / "w"), mesh=mesh, spatial=True,
+        )
+    with pytest.raises(ValueError, match="WRONG below 2"):
+        SNDCGANEngine(
+            dir_path=str(tmp_path / "s"), dataset=ds, batch_size=8,
+            image_size=(16, 16, 3), base_width=64, mesh=mesh, spatial=True,
+        )
+
+    # 32x32 keeps 2 rows/shard everywhere — the measured bit-exact boundary.
+    check_spatial_partition(32 // 8, 2, "wgan", 32)
+    # Uneven splits are refused too (the remainder shard is short).
+    with pytest.raises(ValueError):
+        check_spatial_partition(9, 2, "sndcgan", 72)
+
+    # Escape hatch downgrades to a warning (miscompile repro harnesses).
+    monkeypatch.setenv("IMAGEGEN_ALLOW_DEGENERATE_SPATIAL", "1")
+    with pytest.warns(RuntimeWarning, match="WRONG below 2"):
+        check_spatial_partition(2, 2, "wgan", 16)
