@@ -42,18 +42,21 @@ GREEN_BUTTON_STYLE = (
 
 
 def load_pyqt5() -> SimpleNamespace:
-    """Import PyQt5 and return the widget-API namespace the window uses.
+    """Import PyQt5 and return the widget-API namespace the windows use.
 
     Raises ImportError when PyQt5 is absent (it is not baked into this
     image) — callers fall back to tkinter or the terminal UI.
     """
     from PyQt5 import QtWidgets
     from PyQt5.QtCore import Qt
-    from PyQt5.QtGui import QKeySequence, QPixmap
+    from PyQt5.QtGui import QIntValidator, QKeySequence, QPixmap
     from PyQt5.QtWidgets import (
         QApplication,
         QCheckBox,
+        QFileDialog,
         QLabel,
+        QLineEdit,
+        QRadioButton,
         QShortcut,
         QWidget,
     )
@@ -68,6 +71,10 @@ def load_pyqt5() -> SimpleNamespace:
         QShortcut=QShortcut,
         QKeySequence=QKeySequence,
         QPixmap=QPixmap,
+        QLineEdit=QLineEdit,
+        QRadioButton=QRadioButton,
+        QFileDialog=QFileDialog,
+        QIntValidator=QIntValidator,
     )
 
 
@@ -237,6 +244,169 @@ def make_labeler_window(qt: SimpleNamespace) -> type:
     return LabelerWindow
 
 
+def make_setup_window(qt: SimpleNamespace) -> type:
+    """Build the SetupWindow class against the injected toolkit `qt`.
+
+    Counterpart of the reference's `SetupWindow` (main.py:40-296), closing
+    the round-4 PARITY delta (the repo previously configured sessions via
+    CLI args only). Same flow, step for step:
+    1. Browse for the image folder (main.py:188-196);
+    2. csv/copy/move radio buttons, csv default (main.py:150-185);
+    3. labels from a one-per-line .txt file (main.py:198-217) OR a typed
+       count + "Ok" generating numbered input fields (main.py:219-250);
+    4. "Next" validates with the reference's error messages verbatim
+       (main.py:262-279) and opens the LabelerWindow maximized with the
+       collected (labels, folder, mode) (main.py:281-296).
+    """
+
+    class SetupWindow(qt.QWidget):
+        def __init__(self, on_done=None) -> None:
+            """`on_done(session)` is called with the configured
+            AnnotationSession when the form validates; the default opens
+            the LabelerWindow maximized like the reference."""
+            super().__init__()
+            self.on_done = on_done or self._open_labeler
+            self.selected_folder = ""
+            self.mode = "csv"
+            self.label_inputs: list = []
+            self.opened_labeler = None
+
+            self.setWindowTitle(
+                "imagegeneration_tpu - Annotation tool - Parameters setup"
+            )
+            self.headline_folder = qt.QLabel(
+                "1. Select folder containing images you want to label", self
+            )
+            self.headline_folder.move(60, 30)
+            self.selected_folder_label = qt.QLabel(self)
+            self.selected_folder_label.setGeometry(60, 60, 550, 26)
+            self.browse_button = qt.QtWidgets.QPushButton("Browse", self)
+            self.browse_button.setGeometry(611, 59, 80, 28)
+            self.browse_button.clicked.connect(self.pick_new)
+
+            self.mode_label = qt.QLabel("2. Select mode", self)
+            self.mode_label.move(60, 115)
+            self.radio_buttons = []
+            for i, (mode, desc) in enumerate((
+                ("csv", "csv file with assigned labels is generated"),
+                ("copy", "labeled images are copied to per-label folders"),
+                ("move", "labeled images are moved to per-label folders"),
+            )):
+                rb = qt.QRadioButton(f"{mode} ({desc})", self)
+                rb.mode = mode
+                rb.move(60, 150 + 30 * i)
+                if mode == "csv":
+                    rb.setChecked(True)
+                rb.toggled.connect(self._mode_changed(rb))
+                self.radio_buttons.append(rb)
+
+            self.headline_labels = qt.QLabel("3. Specify labels", self)
+            self.headline_labels.move(60, 260)
+            self.browse_labels_button = qt.QtWidgets.QPushButton(
+                "Select labels", self
+            )
+            self.browse_labels_button.setGeometry(520, 285, 89, 28)
+            self.browse_labels_button.clicked.connect(self.pick_labels_file)
+            self.num_labels_input = qt.QLineEdit(self)
+            self.num_labels_input.setGeometry(75, 350, 60, 26)
+            self.num_labels_input.setValidator(qt.QIntValidator())
+            self.confirm_num_labels = qt.QtWidgets.QPushButton("Ok", self)
+            self.confirm_num_labels.setGeometry(136, 349, 80, 28)
+            self.confirm_num_labels.clicked.connect(self.generate_label_inputs)
+
+            self.next_button = qt.QtWidgets.QPushButton("Next", self)
+            self.next_button.move(360, 630)
+            self.next_button.clicked.connect(self.continue_app)
+            self.error_message = qt.QLabel(self)
+            self.error_message.setGeometry(20, 810, 780, 20)
+            self.error_message.setStyleSheet("color: red; font-weight: bold")
+
+        def _mode_changed(self, rb):
+            def handler(*_a):
+                if rb.isChecked():
+                    self.mode = rb.mode
+
+            return handler
+
+        def pick_new(self) -> None:
+            folder = qt.QFileDialog().getExistingDirectory(
+                None, "Select Folder"
+            )
+            if folder:
+                self.selected_folder = folder
+                self.selected_folder_label.setText(folder)
+
+        def pick_labels_file(self) -> None:
+            file_name, _ = qt.QFileDialog.getOpenFileName(
+                self, "Select labels", "", "Text files (*.txt)"
+            )
+            if not file_name:
+                return
+            labels = [
+                line.rstrip("\n")
+                for line in Path(file_name).read_text().splitlines()
+            ]
+            labels = [l for l in labels if l.strip()]
+            self.num_labels_input.setText(str(len(labels)))
+            self.generate_label_inputs()
+            for field, label in zip(self.label_inputs, labels):
+                field.setText(label)
+
+        def generate_label_inputs(self) -> None:
+            text = self.num_labels_input.text().strip()
+            if not text:
+                return
+            for field in self.label_inputs:
+                field.deleteLater()
+            self.label_inputs = []
+            for i in range(int(text)):
+                field = qt.QLineEdit(self)
+                field.setGeometry(120, 400 + 30 * i, 200, 26)
+                self.label_inputs.append(field)
+
+        def check_validity(self) -> tuple[bool, str]:
+            # The reference's exact messages (main.py:262-279).
+            if self.selected_folder == "":
+                return False, "Input folder has to be selected (step 1)"
+            num = self.num_labels_input.text().strip()
+            if num == "" or num == "0":
+                return False, (
+                    "Number of labels has to be number greater than 0 "
+                    "(step 3)."
+                )
+            if len(self.label_inputs) == 0:
+                return False, (
+                    "You didn't provide any labels. Select number of labels "
+                    'and press "Ok"'
+                )
+            for field in self.label_inputs:
+                if field.text().strip() == "":
+                    return False, "All label fields has to be filled (step 4)."
+            return True, "Form ok"
+
+        def continue_app(self) -> None:
+            ok, message = self.check_validity()
+            if not ok:
+                self.error_message.setText(message)
+                return
+            labels = [f.text().strip() for f in self.label_inputs]
+            session = AnnotationSession(
+                self.selected_folder, labels, self.mode
+            )
+            self.close()
+            self.on_done(session)
+
+        def _open_labeler(self, session: AnnotationSession) -> None:
+            window = make_labeler_window(qt)(session)
+            window.showMaximized()
+            self.opened_labeler = window  # keep a reference (Qt GC)
+
+        def closeEvent(self, event) -> None:  # noqa: N802 (Qt API name)
+            pass  # the setup form saves nothing
+
+    return SetupWindow
+
+
 def run_qt_gui(
     session: AnnotationSession,
     csv_out: str | Path | None = None,
@@ -246,6 +416,15 @@ def run_qt_gui(
     qt = load_pyqt5()
     app = qt.QApplication.instance() or qt.QApplication([])
     window = make_labeler_window(qt)(session, csv_out, output_folder)
+    window.showMaximized()
+    return app.exec_()
+
+
+def run_qt_setup() -> int:
+    """Launch the PyQt5 setup form; it opens the labeler on "Next"."""
+    qt = load_pyqt5()
+    app = qt.QApplication.instance() or qt.QApplication([])
+    window = make_setup_window(qt)()
     window.showMaximized()
     return app.exec_()
 
@@ -409,6 +588,155 @@ def run_tk_gui(
     """Launch the tkinter labeler (blocks until the window closes)."""
     window = TkLabelerWindow(session, csv_out, output_folder)
     window.root.mainloop()
+
+
+class TkSetupWindow:
+    """tkinter setup form with the reference SetupWindow's flow
+    (folder browse, csv/copy/move mode, labels file or typed count ->
+    numbered fields, validation, then the labeler)."""
+
+    def __init__(self, master=None, on_done=None) -> None:
+        import tkinter as tk
+
+        self.tk = tk
+        self.on_done = on_done or self._open_labeler
+        self.root = master or tk.Tk()
+        self.root.title("imagegeneration_tpu - Annotation setup")
+        self.selected_folder = ""
+        self.mode_var = tk.StringVar(value="csv")
+        self.count_var = tk.StringVar()
+        self.error_var = tk.StringVar()
+        self.folder_var = tk.StringVar()
+        self.label_fields: list = []
+
+        tk.Label(
+            self.root,
+            text="1. Select folder containing images you want to label",
+        ).grid(row=0, column=0, columnspan=2, sticky="w", padx=8)
+        tk.Label(self.root, textvariable=self.folder_var).grid(
+            row=1, column=0, sticky="w", padx=8
+        )
+        tk.Button(self.root, text="Browse", command=self.pick_new).grid(
+            row=1, column=1
+        )
+        tk.Label(self.root, text="2. Select mode").grid(
+            row=2, column=0, sticky="w", padx=8
+        )
+        for i, mode in enumerate(("csv", "copy", "move")):
+            tk.Radiobutton(
+                self.root, text=mode, variable=self.mode_var, value=mode
+            ).grid(row=3 + i, column=0, sticky="w", padx=16)
+        tk.Label(self.root, text="3. Specify labels").grid(
+            row=6, column=0, sticky="w", padx=8
+        )
+        tk.Button(
+            self.root, text="Select labels", command=self.pick_labels_file
+        ).grid(row=6, column=1)
+        tk.Entry(self.root, textvariable=self.count_var, width=6).grid(
+            row=7, column=0, sticky="w", padx=16
+        )
+        tk.Button(
+            self.root, text="Ok", command=self.generate_label_inputs
+        ).grid(row=7, column=1, sticky="w")
+        self._fields_row = 8
+        tk.Button(self.root, text="Next", command=self.continue_app).grid(
+            row=30, column=0, columnspan=2
+        )
+        tk.Label(self.root, textvariable=self.error_var, fg="red").grid(
+            row=31, column=0, columnspan=2, sticky="w", padx=8
+        )
+
+    def pick_new(self) -> None:
+        from tkinter import filedialog
+
+        folder = filedialog.askdirectory(title="Select Folder")
+        if folder:
+            self.selected_folder = folder
+            self.folder_var.set(folder)
+
+    def pick_labels_file(self) -> None:
+        from tkinter import filedialog
+
+        name = filedialog.askopenfilename(
+            title="Select labels", filetypes=[("Text files", "*.txt")]
+        )
+        if not name:
+            return
+        labels = [
+            l for l in Path(name).read_text().splitlines() if l.strip()
+        ]
+        self.count_var.set(str(len(labels)))
+        self.generate_label_inputs()
+        for field, label in zip(self.label_fields, labels):
+            field.delete(0, "end")
+            field.insert(0, label)
+
+    def generate_label_inputs(self) -> None:
+        text = self.count_var.get().strip()
+        if not text or not text.isdigit():
+            return
+        for field in self.label_fields:
+            field.destroy()
+        self.label_fields = []
+        for i in range(int(text)):
+            field = self.tk.Entry(self.root, width=24)
+            field.grid(row=self._fields_row + i, column=0, columnspan=2,
+                       sticky="w", padx=16)
+            self.label_fields.append(field)
+
+    def check_validity(self) -> tuple[bool, str]:
+        if self.selected_folder == "":
+            return False, "Input folder has to be selected (step 1)"
+        num = self.count_var.get().strip()
+        if num == "" or num == "0":
+            return False, (
+                "Number of labels has to be number greater than 0 (step 3)."
+            )
+        if not self.label_fields:
+            return False, (
+                "You didn't provide any labels. Select number of labels "
+                'and press "Ok"'
+            )
+        for field in self.label_fields:
+            if field.get().strip() == "":
+                return False, "All label fields has to be filled (step 4)."
+        return True, "Form ok"
+
+    def continue_app(self) -> None:
+        ok, message = self.check_validity()
+        if not ok:
+            self.error_var.set(message)
+            return
+        labels = [f.get().strip() for f in self.label_fields]
+        session = AnnotationSession(
+            self.selected_folder, labels, self.mode_var.get()
+        )
+        self.root.destroy()
+        self.on_done(session)
+
+    def _open_labeler(self, session: AnnotationSession) -> None:
+        run_tk_gui(session)
+
+
+def run_setup_gui() -> bool:
+    """Launch the best available graphical SETUP form (reference
+    main.py:40-296 flow) which then opens the labeler. Returns False when
+    no GUI can start so the CLI can explain the args-based alternative."""
+    try:
+        run_qt_setup()
+        return True
+    except ImportError:
+        pass
+    if not (os.environ.get("DISPLAY") or os.name == "nt"):
+        print("No display available ($DISPLAY unset); cannot open a GUI.")
+        return False
+    try:
+        window = TkSetupWindow()
+        window.root.mainloop()
+        return True
+    except Exception as e:  # tkinter missing or display rejected us
+        print(f"tkinter GUI unavailable ({e}).")
+        return False
 
 
 def run_gui(

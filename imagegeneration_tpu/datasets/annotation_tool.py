@@ -202,10 +202,14 @@ def run_terminal_ui(
 
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="Image annotation tool")
-    parser.add_argument("input_folder")
+    parser.add_argument("input_folder", nargs="?", default=None,
+                        help="image folder; omit (with --gui) to configure "
+                             "interactively via the graphical setup form, "
+                             "like the reference's SetupWindow")
     parser.add_argument(
-        "--labels", required=True,
-        help="comma-separated label names (e.g. the 10-label landscape schema)",
+        "--labels", default=None,
+        help="comma-separated label names (e.g. the 10-label landscape "
+             "schema); required unless the setup form is used",
     )
     parser.add_argument("--mode", choices=["csv", "copy", "move"], default="csv")
     parser.add_argument("--csv-out", default=None)
@@ -217,6 +221,23 @@ def main(argv=None) -> None:
     parser.add_argument("--no-preview", action="store_true", default=False,
                         help="terminal UI: skip the ANSI image preview")
     args = parser.parse_args(argv)
+
+    if args.input_folder is None or args.labels is None:
+        # Interactive setup (reference SetupWindow flow, main.py:40-296):
+        # folder browse + mode radios + label fields, then the labeler.
+        if not args.gui:
+            parser.error(
+                "input_folder and --labels are required without --gui "
+                "(pass --gui alone to configure via the setup form)"
+            )
+        from imagegeneration_tpu.datasets.annotation_gui import run_setup_gui
+
+        if not run_setup_gui():
+            parser.error(
+                "no GUI toolkit/display available for the setup form; "
+                "pass input_folder and --labels instead"
+            )
+        return
 
     labels = [s.strip() for s in args.labels.split(",") if s.strip()]
     session = AnnotationSession(args.input_folder, labels, args.mode)

@@ -25,6 +25,7 @@ from imagegeneration_tpu.datasets.annotation_gui import (
     GREEN_BUTTON_STYLE,
     TkLabelerWindow,
     make_labeler_window,
+    make_setup_window,
     run_gui,
 )
 from imagegeneration_tpu.datasets.annotation_tool import (
@@ -156,6 +157,54 @@ class _FakePixmap:
         return out
 
 
+class _FakeLineEdit(_FakeWidget):
+    def __init__(self, *a, **kw):
+        super().__init__()
+        self._text = ""
+        self.deleted = False
+
+    def setText(self, t):
+        self._text = str(t)
+
+    def text(self):
+        return self._text
+
+    def setValidator(self, v):
+        self.validator = v
+
+    def deleteLater(self):
+        self.deleted = True
+
+
+class _FakeRadioButton(_FakeWidget):
+    def __init__(self, text="", parent=None):
+        super().__init__()
+        self._text = text
+        self._checked = False
+        self.toggled = _Signal()
+
+    def setChecked(self, v):
+        self._checked = bool(v)
+        self.toggled.emit(v)
+
+    def isChecked(self):
+        return self._checked
+
+
+class _FakeFileDialog:
+    """Scripted dialog results, set by tests."""
+
+    next_directory = ""
+    next_open_file = ("", "")
+
+    def getExistingDirectory(self, *a, **kw):
+        return _FakeFileDialog.next_directory
+
+    @staticmethod
+    def getOpenFileName(*a, **kw):
+        return _FakeFileDialog.next_open_file
+
+
 def _fake_qt() -> SimpleNamespace:
     _FakeShortcut.registry = {}
     return SimpleNamespace(
@@ -168,6 +217,10 @@ def _fake_qt() -> SimpleNamespace:
         QShortcut=_FakeShortcut,
         QKeySequence=str,
         QPixmap=_FakePixmap,
+        QLineEdit=_FakeLineEdit,
+        QRadioButton=_FakeRadioButton,
+        QFileDialog=_FakeFileDialog,
+        QIntValidator=lambda: "int-validator",
     )
 
 
@@ -350,3 +403,93 @@ def test_render_image_ansi_degrades_gracefully(tmp_path):
     assert render_image_ansi(tmp_path / "missing.png").startswith(
         "[no preview:"
     )
+
+
+# ------------------------------------------------------------- setup window
+
+
+def _setup(on_done=None):
+    qt = _fake_qt()
+    win = make_setup_window(qt)(on_done=on_done)
+    return qt, win
+
+
+def test_setup_window_validation_messages(image_folder):
+    """The reference's SetupWindow validation chain, message for message
+    (main.py:262-279)."""
+    _, win = _setup()
+    win.next_button.clicked.emit()
+    assert "Input folder has to be selected" in win.error_message.text()
+
+    _FakeFileDialog.next_directory = str(image_folder)
+    win.browse_button.clicked.emit()
+    assert win.selected_folder == str(image_folder)
+    win.next_button.clicked.emit()
+    assert "greater than 0" in win.error_message.text()
+
+    win.num_labels_input.setText("2")
+    win.next_button.clicked.emit()
+    assert "didn't provide any labels" in win.error_message.text()
+
+    win.confirm_num_labels.clicked.emit()
+    assert len(win.label_inputs) == 2
+    win.next_button.clicked.emit()
+    assert "All label fields has to be filled" in win.error_message.text()
+
+
+def test_setup_window_opens_labeler_with_collected_config(image_folder):
+    done = {}
+    qt, win = _setup(on_done=lambda s: done.update(session=s))
+    _FakeFileDialog.next_directory = str(image_folder)
+    win.browse_button.clicked.emit()
+    # mode radio: select "move" (reference main.py:150-185)
+    win.radio_buttons[2].setChecked(True)
+    win.num_labels_input.setText("2")
+    win.confirm_num_labels.clicked.emit()
+    win.label_inputs[0].setText("city")
+    win.label_inputs[1].setText("sea")
+    win.next_button.clicked.emit()
+    session = done["session"]
+    assert session.labels == ["city", "sea"]
+    assert session.mode == "move"
+    assert Path(session.input_folder) == Path(image_folder)
+
+
+def test_setup_window_labels_file_path(image_folder, tmp_path):
+    labels_txt = tmp_path / "labels.txt"
+    labels_txt.write_text("QUALITY_GOOD\nQUALITY_MEDIUM\nDUST\n")
+    _, win = _setup()
+    _FakeFileDialog.next_open_file = (str(labels_txt), "txt")
+    win.browse_labels_button.clicked.emit()
+    assert win.num_labels_input.text() == "3"
+    assert [f.text() for f in win.label_inputs] == [
+        "QUALITY_GOOD", "QUALITY_MEDIUM", "DUST",
+    ]
+    # regenerating replaces the fields (deleteLater on the old ones)
+    old = list(win.label_inputs)
+    win.num_labels_input.setText("1")
+    win.confirm_num_labels.clicked.emit()
+    assert all(f.deleted for f in old)
+    assert len(win.label_inputs) == 1
+
+
+def test_setup_window_default_opens_maximized_labeler(image_folder):
+    qt, win = _setup()
+    _FakeFileDialog.next_directory = str(image_folder)
+    win.browse_button.clicked.emit()
+    win.num_labels_input.setText("1")
+    win.confirm_num_labels.clicked.emit()
+    win.label_inputs[0].setText("city")
+    win.next_button.clicked.emit()
+    assert win.opened_labeler is not None
+    assert getattr(win.opened_labeler, "shown", False)
+    assert win.opened_labeler.session.labels == ["city"]
+
+
+def test_cli_requires_args_or_gui(image_folder, capsys):
+    from imagegeneration_tpu.datasets.annotation_tool import main
+
+    with pytest.raises(SystemExit):
+        main([])  # no folder, no --gui: must explain, not crash
+    err = capsys.readouterr().err
+    assert "setup form" in err
