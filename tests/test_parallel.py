@@ -93,6 +93,38 @@ def test_spatial_partitioning_matches_single_device():
         assert float(m_single[k]) == pytest.approx(float(m_sp[k]), rel=2e-4, abs=2e-5)
 
 
+def test_spatial_partitioning_config5_aspect_matches_single_device():
+    """Always-on pin for the config-5 program CLASS (VERDICT r4 #4): the
+    512x288 exactness gate (tests/test_config5.py) is IMAGEGEN_CONFIG5-
+    gated because full-shape XLA:CPU compiles take ~14 min each, so after
+    the round-4 gradient-replication fix the program class it pins went a
+    round without suite coverage. This test pins the same structure every
+    run — spatial H-sharding of the SN-DCGAN step at a config-5-like
+    non-square aspect (64x128, H/8 maps at 4 rows/shard: safely above the
+    degenerate-halo boundary) on the 4x2 data x spatial mesh."""
+    cfg = SNDCGANTrainConfig(
+        model=SNDCGANConfig(
+            image_size=(64, 128, 3), base_width=32, dropout_rate=0.0
+        ),
+        batch_size=4,
+        seed=7,
+    )
+    batch = np.random.default_rng(5).integers(0, 256, (4, 64, 128, 3), np.uint8)
+
+    s_single, m_single = _run(cfg, batch, mesh=None, steps=1)
+    mesh = make_mesh(MeshConfig(data=4, spatial=2))
+    s_sp, m_sp = _run(cfg, batch, mesh=mesh, spatial=True, steps=1)
+
+    for k in m_single:
+        assert float(m_single[k]) == pytest.approx(
+            float(m_sp[k]), rel=2e-4, abs=2e-5
+        ), k
+    a = np.asarray(s_single.g_params["stem"]["Dense_0"]["kernel"])
+    b = np.asarray(s_sp.g_params["stem"]["Dense_0"]["kernel"])
+    assert np.max(np.abs(a - b)) < 1e-5
+    assert s_sp.d_params["conv0"]["Conv_0"]["kernel"].sharding.is_fully_replicated
+
+
 def test_replicated_state_stays_in_sync():
     """After sharded steps the state sharding is still fully replicated."""
     cfg = SNDCGANTrainConfig(model=TINY, batch_size=8)
