@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from imagegeneration_tpu.ops.pallas import adam as pallas_adam
+
 # Keras optimizer epsilons differ from optax defaults; these match
 # tf.keras.optimizers.Adam/RMSprop (epsilon=1e-7).
 KERAS_EPS = 1e-7
@@ -71,6 +73,83 @@ def adam(
         return updates, optax.ScaleByAdamState(count=count, mu=mu32, nu=nu32)
 
     return optax.GradientTransformation(init, update)
+
+
+def resolve_fused_adam(fused: str) -> str:
+    """'auto' -> 'pallas' on TPU, 'off' elsewhere (XLA:CPU has no Mosaic
+    lowering; interpret mode is a test vehicle, not a perf path)."""
+    if fused == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "off"
+    if fused not in ("off", "pallas", "interpret"):
+        raise ValueError(f"fused_adam must be auto/off/pallas/interpret, got {fused!r}")
+    return fused
+
+
+def adam_apply(
+    params: Any,
+    grads: Any,
+    state: optax.ScaleByAdamState,
+    *,
+    learning_rate: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    moment_dtype: Any | None = None,
+    fused: str = "auto",
+) -> tuple[Any, optax.ScaleByAdamState]:
+    """Combined Keras-form Adam apply: returns (new_params, new_state).
+
+    Same math as `adam(...).update` followed by `optax.apply_updates`, in
+    one call so the params write can fuse with the moment updates. With
+    `fused` resolved to "pallas"/"interpret", large lane-aligned f32 leaves
+    ride the fused Pallas kernel (ops/pallas/adam.py — p/g/m/v read and
+    p'/m'/v' written in ONE pass over HBM instead of XLA's
+    updates-intermediate chain). The kernel evaluates the identical
+    elementwise expressions in the identical dtype, so the result is
+    BIT-IDENTICAL to the XLA path (tests/test_pallas_adam.py) and the
+    Keras-exact trajectory (tests/test_reference_parity.py) is preserved —
+    this is the trajectory-preserving optimizer-traffic lever, unlike the
+    trajectory-changing `moment_dtype=bf16` knob.
+
+    Ineligible leaves (small, unaligned, or reduced-dtype moments) take the
+    inline XLA formula, bitwise-matching `adam()`'s update (p + (-x) == p - x
+    in IEEE semantics, all intermediates f32).
+    """
+    mode = resolve_fused_adam(fused)
+    count = optax.safe_increment(state.count)
+    t = count.astype(jnp.float32)
+    alpha = learning_rate * jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+
+    def one_leaf(p, g, m, v):
+        if (
+            mode != "off"
+            and moment_dtype is None
+            and pallas_adam.leaf_eligible(p, m)
+        ):
+            return pallas_adam.fused_adam_leaf(
+                p, g, m, v, alpha, b1=b1, b2=b2, eps=KERAS_EPS,
+                interpret=(mode == "interpret"),
+            )
+        m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+        v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(g)
+        p_new = p + (-alpha * m32 / (jnp.sqrt(v32) + KERAS_EPS))
+        if moment_dtype is not None:
+            m32 = m32.astype(moment_dtype)
+            v32 = v32.astype(moment_dtype)
+        return p_new, m32, v32
+
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(state.mu)
+    flat_v = treedef.flatten_up_to(state.nu)
+    new = [one_leaf(p, g, m, v)
+           for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+    new_params = jax.tree.unflatten(treedef, [x[0] for x in new])
+    new_state = optax.ScaleByAdamState(
+        count=count,
+        mu=jax.tree.unflatten(treedef, [x[1] for x in new]),
+        nu=jax.tree.unflatten(treedef, [x[2] for x in new]),
+    )
+    return new_params, new_state
 
 
 def rmsprop(learning_rate: float) -> optax.GradientTransformation:

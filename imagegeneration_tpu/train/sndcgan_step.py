@@ -76,6 +76,10 @@ class SNDCGANTrainConfig:
     # fusions whose cost is p/m/v read+write — see common.adam). Update
     # arithmetic is f32 either way.
     opt_moments: str = "f32"
+    # Fused Pallas Adam apply for large f32 leaves (ops/pallas/adam.py):
+    # "auto" (on for TPU), "off", "pallas", "interpret". Bit-identical to
+    # the XLA path — trajectory-preserving, unlike opt_moments="bf16".
+    fused_adam: str = "auto"
     seed: int = rnglib.DEFAULT_MODEL_SEED
 
 
@@ -153,6 +157,26 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
     (layout intent + partitioner-bug workaround; see common.make_replicator).
     """
     gen, disc, g_tx, d_tx = build(cfg)
+    mdt = jnp.bfloat16 if cfg.opt_moments == "bf16" else None
+    common.resolve_fused_adam(cfg.fused_adam)  # validate eagerly
+    # "auto" stays conservative under a mesh: the fused kernel is the
+    # single-chip headline lever (replicated-operand pallas_call under the
+    # GSPMD partitioner is unmeasured here); pass fused_adam="pallas"
+    # explicitly to force it in sharded programs.
+    fused = "off" if (cfg.fused_adam == "auto" and mesh is not None) else cfg.fused_adam
+
+    def g_opt_apply(params, grads, opt):
+        return common.adam_apply(
+            params, grads, opt, learning_rate=cfg.lr_gen,
+            moment_dtype=mdt, fused=fused,
+        )
+
+    def d_opt_apply(params, grads, opt):
+        return common.adam_apply(
+            params, grads, opt, learning_rate=cfg.lr_disc,
+            moment_dtype=mdt, fused=fused,
+        )
+
     replicate = common.make_replicator(mesh)
     chain = rnglib.KeyChain(cfg.seed)
     z_stream = chain.stream("z")
@@ -202,8 +226,10 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
         # grad replication constraints: GSPMD sum-for-mean miscompile
         # workaround — see common.make_replicator.
         g_grads = replicate(g_grads)
-        g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
-        new_g_params = replicate(optax.apply_updates(state.g_params, g_updates))
+        new_g_params, new_g_opt = g_opt_apply(
+            state.g_params, g_grads, state.g_opt
+        )
+        new_g_params = replicate(new_g_params)
         # The fake batch used below is from the PRE-update generator — the
         # reference reuses `g_output` across tapes (SNDCGAN.py:243,260).
         fake_images = jax.lax.stop_gradient(fake_images)
@@ -241,12 +267,10 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
                 state.d_params
             )
             d_grads = replicate(d_grads)
-            d_updates_tree, new_d_opt = d_tx.update(
-                d_grads, state.d_opt, state.d_params
+            new_d_params, new_d_opt = d_opt_apply(
+                state.d_params, d_grads, state.d_opt
             )
-            new_d_params = replicate(
-                optax.apply_updates(state.d_params, d_updates_tree)
-            )
+            new_d_params = replicate(new_d_params)
             return _finish(
                 state, new_g_params, new_g_bs, new_g_opt, new_d_params,
                 new_sp, new_d_opt, g_loss, d_loss_real, d_loss_fake,
@@ -270,8 +294,10 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
             d_real_loss_fn, has_aux=True
         )(state.d_params)
         d_grads1 = replicate(d_grads1)
-        d_updates1, d_opt_mid = d_tx.update(d_grads1, state.d_opt, state.d_params)
-        d_params_mid = replicate(optax.apply_updates(state.d_params, d_updates1))
+        d_params_mid, d_opt_mid = d_opt_apply(
+            state.d_params, d_grads1, state.d_opt
+        )
+        d_params_mid = replicate(d_params_mid)
 
         # ---- D update #2: stale fake batch on the real-updated D
         # (SNDCGAN.py:259-267; two Adam applies per batch is faithful).
@@ -295,8 +321,10 @@ def make_train_step(cfg: SNDCGANTrainConfig, mesh=None):
             d_fake_loss_fn, has_aux=True
         )(d_params_mid)
         d_grads2 = replicate(d_grads2)
-        d_updates2, new_d_opt = d_tx.update(d_grads2, d_opt_mid, d_params_mid)
-        new_d_params = replicate(optax.apply_updates(d_params_mid, d_updates2))
+        new_d_params, new_d_opt = d_opt_apply(
+            d_params_mid, d_grads2, d_opt_mid
+        )
+        new_d_params = replicate(new_d_params)
 
         return _finish(
             state, new_g_params, new_g_bs, new_g_opt, new_d_params, new_sp,
