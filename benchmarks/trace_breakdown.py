@@ -29,7 +29,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_step(family: str):
+def build_step(family: str, fused_adam: str = "auto"):
     import jax
     import jax.numpy as jnp
 
@@ -47,6 +47,7 @@ def build_step(family: str):
             ),
             batch_size=32,
             loss="hinge",
+            fused_adam=fused_adam,
         )
         state = init_state(cfg)
         step = jax.jit(make_train_step(cfg), donate_argnums=0)
@@ -112,6 +113,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--family", default="sndcgan")
+    ap.add_argument("--fused-adam", default="auto",
+                    help="sndcgan only: off/pallas/auto (A/B the fused "
+                    "Pallas Adam apply's trace categories)")
     ap.add_argument("--outdir", default="/tmp/ig_trace")
     args = ap.parse_args()
 
@@ -120,7 +124,7 @@ def main() -> None:
     from imagegeneration_tpu.core.platform import setup_compile_cache
 
     setup_compile_cache(jax)
-    step, state, batches = build_step(args.family)
+    step, state, batches = build_step(args.family, args.fused_adam)
 
     for _ in range(3):
         state, m = step(state, *batches)
