@@ -41,6 +41,22 @@ GREEN_BUTTON_STYLE = (
 )
 
 
+def load_stylesheet() -> str:
+    """Window stylesheet, mirroring the reference's styles.qss mechanism
+    (main.py:142-148 loads "./styles.qss" and falls back with a print).
+    Resolution order: ./styles.qss in the working directory (the reference
+    contract, so users can retheme without touching the package), then the
+    packaged datasets/styles.qss (our own theme, not the reference asset),
+    then empty."""
+    for candidate in (Path("styles.qss"), Path(__file__).with_name("styles.qss")):
+        try:
+            return candidate.read_text()
+        except OSError:
+            continue
+    print("Can't load custom stylesheet.")
+    return ""
+
+
 def load_pyqt5() -> SimpleNamespace:
     """Import PyQt5 and return the widget-API namespace the windows use.
 
@@ -122,6 +138,7 @@ def make_labeler_window(qt: SimpleNamespace) -> type:
                 "for assigning image classes"
             )
             self.setMinimumSize(1100, 770)
+            self.setStyleSheet(load_stylesheet())
             panel = self.IMG_PANEL
 
             prev_btn = qt.QtWidgets.QPushButton("Prev", self)
@@ -274,11 +291,14 @@ def make_setup_window(qt: SimpleNamespace) -> type:
             self.setWindowTitle(
                 "imagegeneration_tpu - Annotation tool - Parameters setup"
             )
+            self.setStyleSheet(load_stylesheet())
             self.headline_folder = qt.QLabel(
                 "1. Select folder containing images you want to label", self
             )
+            self.headline_folder.setObjectName("headline")
             self.headline_folder.move(60, 30)
             self.selected_folder_label = qt.QLabel(self)
+            self.selected_folder_label.setObjectName("selectedFolderLabel")
             self.selected_folder_label.setGeometry(60, 60, 550, 26)
             self.browse_button = qt.QtWidgets.QPushButton("Browse", self)
             self.browse_button.setGeometry(611, 59, 80, 28)
@@ -315,9 +335,11 @@ def make_setup_window(qt: SimpleNamespace) -> type:
             self.confirm_num_labels.clicked.connect(self.generate_label_inputs)
 
             self.next_button = qt.QtWidgets.QPushButton("Next", self)
+            self.next_button.setObjectName("primaryButton")
             self.next_button.move(360, 630)
             self.next_button.clicked.connect(self.continue_app)
             self.error_message = qt.QLabel(self)
+            self.error_message.setObjectName("errorMessage")
             self.error_message.setGeometry(20, 810, 780, 20)
             self.error_message.setStyleSheet("color: red; font-weight: bold")
 

@@ -493,3 +493,20 @@ def test_cli_requires_args_or_gui(image_folder, capsys):
         main([])  # no folder, no --gui: must explain, not crash
     err = capsys.readouterr().err
     assert "setup form" in err
+
+
+def test_stylesheet_loaded_and_applied(image_folder, tmp_path, monkeypatch):
+    """The reference's styles.qss mechanism (main.py:142-148): a ./styles.qss
+    in the cwd wins; otherwise the packaged theme applies."""
+    from imagegeneration_tpu.datasets.annotation_gui import load_stylesheet
+
+    packaged = load_stylesheet()
+    assert "primaryButton" in packaged  # our packaged theme
+
+    _, win = _setup()
+    assert "primaryButton" in win._style  # applied at construction
+    assert win.next_button._name == "primaryButton"
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "styles.qss").write_text("QWidget { color: pink }")
+    assert load_stylesheet() == "QWidget { color: pink }"
