@@ -56,6 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="bug-compatible tfa InstanceNormalization(axis=1)")
     parser.add_argument("--seed", type=int, default=62)
     parser.add_argument("--profile", action="store_true", default=False)
+    parser.add_argument("--host-sharded-data", action="store_true",
+                        default=False,
+                        help="multi-process pods: each host decodes only "
+                        "its shard of the dataset folder and feeds local "
+                        "samples (statistical batch composition; see "
+                        "core/data.ImageFolderDataset). Default: every "
+                        "host decodes the full folder and feeds its rows "
+                        "of the identical global shuffle.")
     return parser
 
 
@@ -85,6 +93,7 @@ def main(argv=None) -> None:
         seed=args.seed,
         mesh=mesh,
         spatial=args.mesh_spatial > 1,
+        host_sharded_data=args.host_sharded_data,
         profile=args.profile,
     )
     engine.train(args.epochs, args.chps)

@@ -84,6 +84,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile", action="store_true", default=False,
                         help="capture a jax.profiler trace of the first "
                         "post-compile epoch into <dir>/traces")
+    parser.add_argument("--host-sharded-data", action="store_true",
+                        default=False,
+                        help="multi-process pods: each host decodes only "
+                        "its shard of the dataset folder and feeds local "
+                        "samples (statistical batch composition; see "
+                        "core/data.ImageFolderDataset). Default: every "
+                        "host decodes the full folder and feeds its rows "
+                        "of the identical global shuffle.")
     return parser
 
 
@@ -120,6 +128,7 @@ def main(argv=None) -> None:
         seed=args.seed,
         mesh=mesh,
         spatial=args.mesh_spatial > 1,
+        host_sharded_data=args.host_sharded_data,
         profile=args.profile,
         preview_frequency=args.preview_every,
     )
