@@ -118,9 +118,7 @@ def shard_batch(mesh: Mesh, batch: np.ndarray, spatial: bool = False) -> jax.Arr
 # batch sharding places row block d on mesh row d).
 
 
-def process_row_range(
-    mesh: Mesh, global_batch_size: int, spatial: bool = False
-) -> tuple[int, int]:
+def process_row_range(mesh: Mesh, global_batch_size: int) -> tuple[int, int]:
     """Global-batch rows [lo, hi) that THIS process must supply.
 
     With the batch sharded P('data'[, 'spatial']), row block d of the batch
