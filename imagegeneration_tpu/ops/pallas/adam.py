@@ -12,11 +12,19 @@ at 7.5 ms/step, dominated by the 37.7M-param stem Dense (p/m/v/g are
                                                 correction; train/common.py]
 
 so its speed-of-light is pure HBM bandwidth: read {p, g, m, v}, write
-{p', m', v'} = 7 passes. XLA materializes the optax update as several
-fusions with an explicit `updates` intermediate (write + read + add = at
-least 2 extra passes, more when the mu/nu/update fusions re-read g), which
-this kernel eliminates: ONE grid over the array computing all three outputs
-in place of the chain.
+{p', m', v'} = 7 passes.
+
+**Chip verdict (2026-08-20, benchmarks/ab_fused_adam.py): SLOWER — 49.17
+vs 42.02 ms/step at the headline config, so it ships default-OFF.** The
+hypothesis that XLA pays extra passes was wrong: XLA fuses each Adam
+apply into the PRODUCING dW fusion (the gradient never round-trips HBM as
+a separate array; round-2's stem divide_add_fusion measured 1.35 ms ~=
+the 7-pass bound for its 151 MB operands). A custom call is a fusion
+barrier, so this kernel forces the dW fusion to materialize g to HBM and
+re-read it — strictly more traffic than the fusion it replaced. Kept as
+an exactness-tested experiment knob (`fused_adam` in the train configs)
+because the measurement is the valuable artifact: optimizer traffic on
+this step is ALREADY at bandwidth speed-of-light inside XLA.
 
 Trajectory preservation: the kernel evaluates the exact expressions of
 `common.adam`'s update in the same dtype (f32) and per-element order. The
@@ -69,7 +77,11 @@ def _kernel(alpha_ref, p_ref, g_ref, m_ref, v_ref,
 
 
 def _block_rows(rows: int) -> int:
-    for cand in (512, 256, 128, 64, 32, 16, 8, 4, 2):
+    # 7 live buffers (4 in + 3 out) x br x 1024 x 4 B, double-buffered by
+    # the pipeline: br=128 is 7.3 MB of the 16 MB kernel vmem stack (br=512
+    # measured OOM at 28 MB on v5e). Bandwidth-bound elementwise work is
+    # insensitive to block size well below that.
+    for cand in (128, 64, 32, 16, 8, 4, 2):
         if rows % cand == 0:
             return cand
     return 1

@@ -77,9 +77,16 @@ class SNDCGANTrainConfig:
     # arithmetic is f32 either way.
     opt_moments: str = "f32"
     # Fused Pallas Adam apply for large f32 leaves (ops/pallas/adam.py):
-    # "auto" (on for TPU), "off", "pallas", "interpret". Bit-identical to
-    # the XLA path — trajectory-preserving, unlike opt_moments="bf16".
-    fused_adam: str = "auto"
+    # "off" (default), "auto"/"pallas" (on for TPU), "interpret".
+    # MEASURED SLOWER on chip and therefore off: 49.17 vs 42.02 ms/step at
+    # the headline config (benchmarks/ab_fused_adam.py, 2026-08-20). XLA
+    # already fuses each Adam apply into the producing dW fusion — the
+    # round-2 trace's stem divide_add_fusion ran at 1.35 ms ~= the 7-pass
+    # HBM bound — so the custom call only severs that fusion and adds a
+    # full gradient HBM round-trip. Kept as a documented experiment knob
+    # (exactness-tested, tests/test_pallas_adam.py), same policy as the
+    # measured-slower ConvT lowerings in nn/layers.py.
+    fused_adam: str = "off"
     seed: int = rnglib.DEFAULT_MODEL_SEED
 
 
